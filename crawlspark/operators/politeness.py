@@ -1,0 +1,88 @@
+"""Politeness: robots filtering and skew-aware per-host top-K dequeue.
+
+Generalizes the reference's single global ``--parallel-downloads`` bound
+(DownloadCommandHandler.cs:53-56, Downloader.cs:166-181) into per-host
+token budgets, and its SHA-prefix directory binning (DirectoryBins.cs)
+into the salted two-phase window that kills host skew — the explicit
+requirement of BASELINE.json north_rule ("salted
+repartitionAndSortWithinPartitions by (host_hash, priority,
+discovery_ts) to kill host-skew hotspots").
+
+Why two phases: ``row_number() OVER (PARTITION BY host ...)`` shuffles
+every row of a hot host into ONE task. With a Zipf frontier (one host =
+10% of 10^10 URLs) that task never finishes. Phase 1 splits each host
+into ``salt`` pseudo-hosts — ``pmod(xxhash64(url), salt)`` — and takes a
+local top-K per (host, salt); this bounds phase-2 input to at most
+``salt × K`` rows per host, so the final exact per-host window runs on a
+small, skew-free relation. The result is provably identical to the
+unsalted window: the global per-host top-K by (priority, discovery_ts,
+url) is contained in the union of per-salt top-Ks, because each salt
+class loses only rows ranked below K within that class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawlspark.functions.urls import path_of
+
+ORDER_COLS = ("priority", "discovery_ts", "url")
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Drop candidate urls whose path matches a disallow prefix for the
+    url's host. robots(host, disallow_prefixes: array<string>) is tiny
+    (one row per host) → broadcast left join, no shuffle of candidates."""
+    if robots is None:
+        return candidates
+    joined = candidates.join(F.broadcast(robots), "host", "left")
+    blocked = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array().cast("array<string>")),
+        lambda p: path_of(F.col("url")).startswith(p),
+    )
+    return joined.where(~blocked).drop("disallow_prefixes")
+
+
+def topk_per_host(
+    candidates: DataFrame,
+    host_budgets: DataFrame | None,
+    default_budget: int,
+    salt: int = 8,
+) -> DataFrame:
+    """Dequeue the top-``budget`` urls per host in deterministic
+    (priority, discovery_ts, url) order. Budget comes from the broadcast
+    host_budgets(host, tokens_per_epoch) table, defaulting to
+    ``default_budget`` for unlisted hosts.
+
+    Implementation: salted two-phase top-K (see module docstring). Both
+    windows shuffle by their partition keys only; phase 2's input is
+    ≤ salt × max_budget rows per host.
+    """
+    df = candidates
+    if host_budgets is not None:
+        df = df.join(F.broadcast(host_budgets), "host", "left")
+        df = df.withColumn(
+            "__budget", F.coalesce(F.col("tokens_per_epoch"), F.lit(default_budget))
+        ).drop("tokens_per_epoch")
+    else:
+        df = df.withColumn("__budget", F.lit(default_budget))
+
+    order = [F.col(c) for c in ORDER_COLS]
+
+    # Phase 1: local top-K within (host, salt) pseudo-partitions.
+    df = df.withColumn("__salt", F.pmod(F.xxhash64("url"), F.lit(salt)).cast("int"))
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+    df = (
+        df.withColumn("__rn1", F.row_number().over(w1))
+        .where(F.col("__rn1") <= F.col("__budget"))
+        .drop("__rn1", "__salt")
+    )
+
+    # Phase 2: exact per-host top-K on the pruned (skew-free) relation.
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= F.col("__budget"))
+        .drop("__rn", "__budget")
+    )

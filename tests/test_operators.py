@@ -1,0 +1,133 @@
+"""Unit tests for the core relational operators (SURVEY.md §2)."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from crawlspark.functions.urls import hash_prefix_bin, host_of, path_of
+from crawlspark.operators.bloom import BloomShards, seen_filter
+from crawlspark.operators.ordering import (
+    commit_budget_cutoff,
+    cursor_filter,
+    ordered_limit,
+)
+from crawlspark.operators.politeness import apply_robots, topk_per_host
+
+TS = dt.datetime(2024, 3, 1)
+
+
+def _events(spark, n=100):
+    rows = [
+        Row(commit_ts=TS + dt.timedelta(minutes=i // 4), url=f"https://h{i % 7}.example/p{i}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_hash_prefix_bin_matches_reference_golden(spark):
+    """DirectoryBinsTests.cs:8-18 pins sha256('newtonsoft.json') → 2c/4c/f1."""
+    df = spark.createDataFrame([Row(key="newtonsoft.json")])
+    out = df.select(hash_prefix_bin("key", levels=3).alias("bin")).first()["bin"]
+    assert out == "2c/4c/f1"
+
+
+def test_cursor_filter_half_open_interval(spark):
+    df = _events(spark)
+    lo, hi = TS + dt.timedelta(minutes=2), TS + dt.timedelta(minutes=5)
+    got = cursor_filter(df, lo, hi).select("commit_ts").distinct().collect()
+    mins = sorted((r["commit_ts"] - TS).total_seconds() / 60 for r in got)
+    assert mins == [3, 4, 5]  # (lo, hi]: excludes 2, includes 5
+
+
+def test_commit_budget_cutoff_keeps_whole_commits(spark):
+    df = _events(spark, n=40)  # 10 commits × 4 rows
+    out = commit_budget_cutoff(df, 3)
+    assert out.count() == 12
+    assert out.select("commit_ts").distinct().count() == 3
+    # never splits a commit: each kept commit has all 4 rows
+    per = out.groupBy("commit_ts").count().collect()
+    assert all(r["count"] == 4 for r in per)
+
+
+def test_ordered_limit_is_topk_of_total_order(spark):
+    df = _events(spark, n=30)
+    got = [r["url"] for r in ordered_limit(df, 5, ["commit_ts", "url"]).collect()]
+    exp = [
+        r["url"]
+        for r in sorted(df.collect(), key=lambda r: (r["commit_ts"], r["url"]))[:5]
+    ]
+    assert got == exp
+
+
+@pytest.mark.parametrize("salt", [1, 4, 16])
+def test_salted_topk_equals_unsalted_window(spark, salt):
+    """The salted two-phase dequeue must be exactly the per-host top-K."""
+    rows = [
+        Row(
+            url=f"https://h{i % 3}.example/p{i:04d}",
+            host=f"h{i % 3}.example",
+            priority=i % 5,
+            discovery_ts=TS + dt.timedelta(minutes=i % 11),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["url"]
+        for r in topk_per_host(df, None, default_budget=7, salt=salt).collect()
+    }
+    w = Window.partitionBy("host").orderBy("priority", "discovery_ts", "url")
+    exp = {
+        r["url"]
+        for r in df.withColumn("rn", F.row_number().over(w)).where("rn <= 7").collect()
+    }
+    assert got == exp
+
+
+def test_topk_respects_per_host_budget_table(spark):
+    rows = [
+        Row(url=f"https://h{i % 2}.example/p{i:03d}", host=f"h{i % 2}.example",
+            priority=0, discovery_ts=TS)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    budgets = spark.createDataFrame([Row(host="h0.example", tokens_per_epoch=3)])
+    out = topk_per_host(df, budgets, default_budget=5).groupBy("host").count().collect()
+    got = {r["host"]: r["count"] for r in out}
+    assert got == {"h0.example": 3, "h1.example": 5}
+
+
+def test_apply_robots_blocks_prefixes(spark):
+    rows = [
+        Row(url="https://a.example/private/x", host="a.example"),
+        Row(url="https://a.example/page/y", host="a.example"),
+        Row(url="https://b.example/private/z", host="b.example"),
+    ]
+    df = spark.createDataFrame(rows)
+    robots = spark.createDataFrame([Row(host="a.example", disallow_prefixes=["/private/"])])
+    got = {r["url"] for r in apply_robots(df, robots).collect()}
+    assert got == {"https://a.example/page/y", "https://b.example/private/z"}
+
+
+def test_url_parsing(spark):
+    df = spark.createDataFrame([Row(url="https://h5.example/page/p7")])
+    row = df.select(host_of("url").alias("h"), path_of("url").alias("p")).first()
+    assert row["h"] == "h5.example" and row["p"] == "/page/p7"
+
+
+def test_bloom_no_false_negatives():
+    bf = BloomShards(8, 1 << 12, 4)
+    added = pd.Series([f"https://h{i}.example/p{i}" for i in range(500)])
+    bf.add(added)
+    assert bf.might_contain(added).all()
+
+
+def test_seen_filter_matches_exact_anti_join(spark):
+    cand = spark.createDataFrame([Row(url=f"https://h.example/p{i}") for i in range(400)])
+    seen = spark.createDataFrame([Row(url=f"https://h.example/p{i}") for i in range(0, 400, 3)])
+    exact = {r["url"] for r in cand.join(seen, "url", "left_anti").collect()}
+    bloom = {r["url"] for r in seen_filter(spark, cand, seen, use_bloom=True).collect()}
+    assert bloom == exact
