@@ -68,8 +68,13 @@ class BloomShards:
         if len(urls) == 0:
             return
         shard, pos = self._positions(urls)
+        flat = self.bitmaps.reshape(-1)
+        row_bytes = self.bitmaps.shape[1]
         for i in range(self.n_hashes):
-            self.bitmaps[shard, pos[i] >> 3] |= np.uint8(1) << (pos[i] & 7).astype(np.uint8)
+            idx = shard * row_bytes + (pos[i] >> 3)
+            # bitwise_or.at is unbuffered: duplicate indices all land
+            # (plain `flat[idx] |= v` silently drops duplicates)
+            np.bitwise_or.at(flat, idx, np.uint8(1) << (pos[i] & 7).astype(np.uint8))
 
     def might_contain(self, urls: pd.Series) -> pd.Series:
         if len(urls) == 0:

@@ -46,7 +46,7 @@ from crawlspark.operators.ordering import (
     ordered_limit,
 )
 from crawlspark.operators.politeness import ORDER_COLS, apply_robots, topk_per_host
-from crawlspark.plans.state import CrawlState
+from crawlspark.plans.state import LINEAGE_SCHEMA, CrawlState
 
 DISCOVERY_BASE = dt.datetime(2024, 1, 1)
 
@@ -140,7 +140,9 @@ def web_crawl(
         ).withColumn("host", host_of(F.col("url")))
 
         # 3. robots + politeness dequeue (salted two-phase per-host top-K).
-        allowed = apply_robots(candidates, robots)
+        #    `allowed` is reused by the dequeue, the remainder anti-join,
+        #    and next_frontier — cache it once.
+        allowed = apply_robots(candidates, robots).cache()
         dequeued = topk_per_host(allowed, host_budgets, cfg.default_budget, salt=cfg.salt)
         if cfg.global_budget_per_epoch is not None:
             dequeued = ordered_limit(dequeued, cfg.global_budget_per_epoch, list(ORDER_COLS))
@@ -148,6 +150,7 @@ def web_crawl(
         n_dequeued = dequeued.count()
         if n_dequeued == 0:
             dequeued.unpersist()
+            allowed.unpersist()
             break
 
         # 4. "fetch": inner equi-join against the pages snapshot with the
@@ -204,8 +207,10 @@ def web_crawl(
             .select("url", "host", "priority", "discovery_ts")
 
         # 6. per-partition lineage + fetch metrics (north_star checkpoint).
+        #    Collected driver-side (one row per partition — tiny); epoch
+        #    totals derive from the same rows, so stats cost no extra job.
         fetched_out = fetched_rows.drop("html")
-        lineage = (
+        lineage_rows = (
             fetched_out.withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id")
             .agg(
@@ -214,10 +219,15 @@ def web_crawl(
                 F.sum(F.when(F.col("status") == "missing", 1).otherwise(0)).alias("urls_missing"),
                 F.sum("content_bytes").alias("bytes"),
             )
-            .select(
-                F.lit("download").alias("consumer"), "partition_id",
-                "cursor_ts", "urls_fetched", "urls_missing", "bytes",
-            )
+            .collect()
+        )
+        lineage = spark.createDataFrame(
+            [
+                ("download", r["partition_id"], r["cursor_ts"],
+                 r["urls_fetched"], r["urls_missing"], r["bytes"])
+                for r in lineage_rows
+            ],
+            LINEAGE_SCHEMA,
         )
 
         # 7. stage all three tables, then ONE atomic commit.
@@ -225,19 +235,14 @@ def web_crawl(
         state.frontier.write_epoch(next_frontier, epoch)
         state.lineage.write_epoch(lineage, epoch)
 
-        agg = fetched_out.agg(
-            F.max("warc_ts").alias("mx"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-            F.sum(F.when(F.col("status") == "missing", 1).otherwise(0)).alias("miss"),
-            F.sum("content_bytes").alias("b"),
-        ).first()
-        cursor = max(state.cursor("download"), agg["mx"] or EPOCH_MIN)
+        max_warc = max((r["cursor_ts"] for r in lineage_rows if r["cursor_ts"]), default=EPOCH_MIN)
+        cursor = max(state.cursor("download"), max_warc)
         epoch_stats = {
             "epoch": epoch,
             "urls_dequeued": n_dequeued,
-            "urls_fetched": int(agg["ok"] or 0),
-            "urls_missing": int(agg["miss"] or 0),
-            "bytes": int(agg["b"] or 0),
+            "urls_fetched": int(sum(r["urls_fetched"] for r in lineage_rows)),
+            "urls_missing": int(sum(r["urls_missing"] for r in lineage_rows)),
+            "bytes": int(sum(r["bytes"] or 0 for r in lineage_rows)),
         }
         state.commit_epoch(epoch, cursors={"download": cursor}, stats=epoch_stats)
         stats_out.append(epoch_stats)
@@ -245,6 +250,7 @@ def web_crawl(
 
         dequeued.unpersist()
         fetched_rows.unpersist()
+        allowed.unpersist()
     return stats_out
 
 

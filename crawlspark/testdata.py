@@ -133,9 +133,11 @@ def build_index(pages_full: DataFrame) -> DataFrame:
 
 
 def build_seeds(pages_full: DataFrame, n_seeds: int = 16) -> DataFrame:
-    """Seed list: every k-th page url, priority 0."""
+    """Seed list: every 29th page url (skipping /private/ ids), priority 0."""
     return (
-        pages_full.where((F.col("id") % 97 == 0) & (F.col("id") / 97 < n_seeds))
+        pages_full.where((F.col("id") % 29 == 1) & (F.col("id") % 13 != 0))
+        .orderBy("id")
+        .limit(n_seeds)
         .select(F.col("url"), F.lit(0).alias("priority"))
     )
 

@@ -1,0 +1,146 @@
+"""Engine vs pure-Python simulator: identical visited set, order, text.
+
+The BASELINE.json correctness gate: "same seed list + politeness budget
+yields the identical visited-URL set and order" and "byte-identical
+extracted text per url".
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark.plans.epoch import CrawlConfig, web_crawl
+from crawlspark.plans.state import CrawlState
+from tests.simulator import simulate_web_crawl
+
+
+def _load_inputs(spark, corpus_dir):
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet"))
+    robots = spark.read.parquet(os.path.join(corpus_dir, "robots.parquet"))
+    budgets = spark.read.parquet(os.path.join(corpus_dir, "host_budgets.parquet"))
+    return pages, seeds, robots, budgets
+
+
+@pytest.fixture(scope="session")
+def crawl_run(spark, corpus_dir, tmp_path_factory):
+    """One full crawl to frontier exhaustion, shared by the assertions."""
+    pages, seeds, robots, budgets = _load_inputs(spark, corpus_dir)
+    state_dir = str(tmp_path_factory.mktemp("state") / "run")
+    stats = web_crawl(
+        spark, pages, state_dir, seeds, robots=robots, host_budgets=budgets,
+        config=CrawlConfig(default_budget=8, max_epochs=20),
+    )
+    return state_dir, stats
+
+
+def _engine_trace(spark, state_dir):
+    state = CrawlState(state_dir)
+    rows = (
+        state.fetched.read(spark)
+        .orderBy("epoch", "priority", "discovery_ts", "url")
+        .select("epoch", "url", "text", "status")
+        .collect()
+    )
+    epochs: dict[int, list] = {}
+    for r in rows:
+        epochs.setdefault(r["epoch"], []).append(r)
+    return epochs
+
+
+def test_engine_matches_simulator(spark, corpus_dir, crawl_run):
+    state_dir, _ = crawl_run
+    pages, seeds, robots, budgets = _load_inputs(spark, corpus_dir)
+    sim = simulate_web_crawl(
+        {r["url"]: {"html": bytes(r["html"]), "text": r["text"]} for r in pages.collect()},
+        [(r["url"], r["priority"]) for r in seeds.collect()],
+        robots={r["host"]: list(r["disallow_prefixes"]) for r in robots.collect()},
+        budgets={r["host"]: r["tokens_per_epoch"] for r in budgets.collect()},
+        default_budget=8, max_epochs=20,
+    )
+    eng = _engine_trace(spark, state_dir)
+    assert len(eng) == len(sim.epochs), "epoch counts differ"
+    for e, sim_urls in enumerate(sim.epochs):
+        eng_urls = [r["url"] for r in eng[e]]
+        assert eng_urls == sim_urls, f"visit order differs at epoch {e}"
+    # byte-identical text per url
+    eng_texts = {r["url"]: r["text"] for rows in eng.values() for r in rows if r["status"] == "ok"}
+    assert eng_texts == sim.texts
+
+
+def test_visited_set_is_duplicate_free(spark, crawl_run):
+    state_dir, _ = crawl_run
+    fetched = CrawlState(state_dir).fetched.read(spark)
+    assert fetched.count() == fetched.select("url").distinct().count()
+
+
+def test_robots_never_visited(spark, corpus_dir, crawl_run):
+    state_dir, _ = crawl_run
+    _, _, robots, _ = _load_inputs(spark, corpus_dir)
+    fetched = CrawlState(state_dir).fetched.read(spark)
+    blocked = (
+        fetched.join(robots, "host")
+        .where(
+            F.exists(
+                "disallow_prefixes",
+                lambda p: F.regexp_extract("url", r"https://[^/]+(/.*)", 1).startswith(p),
+            )
+        )
+        .count()
+    )
+    assert blocked == 0
+
+
+def test_per_host_budget_respected_every_epoch(spark, corpus_dir, crawl_run):
+    state_dir, _ = crawl_run
+    _, _, _, budgets = _load_inputs(spark, corpus_dir)
+    fetched = CrawlState(state_dir).fetched.read(spark)
+    over = (
+        fetched.join(budgets, "host", "left")
+        .groupBy("epoch", "host", "tokens_per_epoch")
+        .count()
+        .where(F.col("count") > F.coalesce("tokens_per_epoch", F.lit(8)))
+        .count()
+    )
+    assert over == 0
+
+
+def test_bloom_does_not_change_visited_set(spark, tmp_path):
+    """Property from SURVEY.md §7.3: the bloom pre-filter must never
+    change the final visited set (exact anti-join backstop)."""
+    from crawlspark.testdata import write_corpus
+
+    d = str(tmp_path / "c")
+    paths = write_corpus(spark, d, n_pages=120, n_hosts=6)
+    pages = spark.read.parquet(paths["pages"])
+    seeds = spark.read.parquet(paths["seeds"])
+    traces = {}
+    for flag in (True, False):
+        sd = str(tmp_path / f"s{flag}")
+        web_crawl(
+            spark, pages, sd, seeds,
+            config=CrawlConfig(default_budget=6, max_epochs=15, use_bloom=flag),
+        )
+        traces[flag] = [
+            (r["epoch"], r["url"])
+            for r in CrawlState(sd).fetched.read(spark).orderBy("epoch", "url").collect()
+        ]
+    assert traces[True] == traces[False]
+
+
+def test_global_budget_caps_epoch(spark, tmp_path):
+    from crawlspark.testdata import write_corpus
+
+    d = str(tmp_path / "c")
+    paths = write_corpus(spark, d, n_pages=120, n_hosts=6)
+    pages = spark.read.parquet(paths["pages"])
+    seeds = spark.read.parquet(paths["seeds"])
+    sd = str(tmp_path / "s")
+    web_crawl(
+        spark, pages, sd, seeds,
+        config=CrawlConfig(default_budget=8, max_epochs=4, global_budget_per_epoch=10),
+    )
+    per_epoch = CrawlState(sd).fetched.read(spark).groupBy("epoch").count().collect()
+    assert len(per_epoch) > 0
+    assert all(r["count"] <= 10 for r in per_epoch)
