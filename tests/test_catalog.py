@@ -1,0 +1,156 @@
+"""Catalog-parity crawl: staged snapshots + budget semantics.
+
+Mirrors the reference's integration theory matrix
+(DownloadCommandHandlerIntegrationTests.cs): staged catalog evolution
+Step1→Step4, MaxPages split, MaxCommits split with partial-page
+re-processing, exact cursor values, depth variants.
+"""
+
+import os
+
+import pytest
+
+from crawlspark.plans.epoch import catalog_crawl
+from crawlspark.plans.state import CrawlState
+from tests.simulator import EPOCH_MIN, simulate_catalog_run
+
+
+def _step(spark, staged_dir, name):
+    pages = spark.read.parquet(os.path.join(staged_dir, name, "pages.parquet"))
+    index = spark.read.parquet(os.path.join(staged_dir, name, "index.parquet"))
+    return pages, index
+
+
+def _visited(spark, state_dir, run):
+    rows = (
+        CrawlState(state_dir).fetched.read(spark)
+        .where(f"epoch = {run}")
+        .orderBy("warc_ts", "url")
+        .collect()
+    )
+    return [r["url"] for r in rows]
+
+
+def _sim_inputs(pages, index):
+    return (
+        [{"url": r["url"], "warc_ts": r["warc_ts"]} for r in pages.collect()],
+        [{"page_no": r["page_no"], "page_ts": r["page_ts"]} for r in index.collect()],
+    )
+
+
+def test_steps_incremental_crawl_matches_simulator(spark, staged_dir, tmp_path):
+    """Run once per staged snapshot; each run picks up exactly the delta."""
+    sd = str(tmp_path / "state")
+    cursor = EPOCH_MIN
+    for i, step in enumerate(["step1", "step2a", "step2b", "step3", "step4"]):
+        pages, index = _step(spark, staged_dir, step)
+        res = catalog_crawl(spark, pages, index, sd, depth="leaf")
+        sim_pages, sim_index = _sim_inputs(pages, index)
+        sim_visited, sim_cursor = simulate_catalog_run(sim_pages, sim_index, cursor)
+        if sim_visited:
+            assert _visited(spark, sd, res["run"]) == sim_visited, f"{step} delta differs"
+        assert res["leaves"] == len(sim_visited), f"{step}: re-fetched covered rows"
+        if res["leaves"]:
+            assert res["cursor"] == sim_cursor, f"{step} cursor differs"
+        cursor = max(cursor, sim_cursor)
+
+
+def test_step2a_defers_unadvertised_leaves(spark, staged_dir, tmp_path):
+    """Leaves present in pages but newer than the index's advertised
+    page_ts must NOT be fetched (Downloader.cs:126), then appear once
+    the index catches up (step2b)."""
+    sd = str(tmp_path / "state")
+    pages1, index1 = _step(spark, staged_dir, "step1")
+    catalog_crawl(spark, pages1, index1, sd, depth="leaf")
+
+    pages2a, index2a = _step(spark, staged_dir, "step2a")
+    res2a = catalog_crawl(spark, pages2a, index2a, sd, depth="leaf")
+    assert res2a["leaves"] == 0  # new leaves exist but are unadvertised
+
+    pages2b, index2b = _step(spark, staged_dir, "step2b")
+    res2b = catalog_crawl(spark, pages2b, index2b, sd, depth="leaf")
+    assert res2b["leaves"] == pages2b.count() - pages1.count()
+
+
+def test_max_pages_split(spark, staged_dir, tmp_path):
+    """MaxPages=2 leaves later pages for the next run
+    (VerifyStep123And4_MaxPages2, tests:83-119)."""
+    pages, index = _step(spark, staged_dir, "step4")
+    sim_pages, sim_index = _sim_inputs(pages, index)
+
+    sd = str(tmp_path / "state")
+    cursor = EPOCH_MIN
+    total_runs = 0
+    engine_all, sim_all = [], []
+    while True:
+        res = catalog_crawl(spark, pages, index, sd, depth="leaf", max_pages=2)
+        sim_visited, cursor = simulate_catalog_run(sim_pages, sim_index, cursor, max_pages=2)
+        assert res["leaves"] == len(sim_visited)
+        if res["leaves"] == 0:
+            break
+        engine_all.extend(_visited(spark, sd, res["run"]))
+        sim_all.extend(sim_visited)
+        assert res["cursor"] == cursor
+        total_runs += 1
+        assert total_runs < 20
+    assert engine_all == sim_all
+    assert total_runs > 1  # the budget actually split the catalog
+
+
+def test_max_commits_split_never_splits_a_commit(spark, staged_dir, tmp_path):
+    """MaxCommits walks whole commits only; a partially-covered page is
+    re-processed next run (VerifyStep123And4_MaxCommits4, tests:121-158)."""
+    pages, index = _step(spark, staged_dir, "step4")
+    sim_pages, sim_index = _sim_inputs(pages, index)
+
+    sd = str(tmp_path / "state")
+    cursor = EPOCH_MIN
+    engine_all, sim_all = [], []
+    runs = 0
+    while True:
+        res = catalog_crawl(spark, pages, index, sd, depth="leaf", max_commits=3)
+        sim_visited, cursor = simulate_catalog_run(sim_pages, sim_index, cursor, max_commits=3)
+        assert res["leaves"] == len(sim_visited)
+        if res["leaves"] == 0:
+            break
+        got = _visited(spark, sd, res["run"])
+        assert got == sim_visited
+        # whole-commit invariant: distinct commits this run <= 3
+        ts = (
+            CrawlState(sd).fetched.read(spark)
+            .where(f"epoch = {res['run']}")
+            .select("warc_ts").distinct().count()
+        )
+        assert ts <= 3
+        engine_all.extend(got)
+        sim_all.extend(sim_visited)
+        runs += 1
+        assert runs < 30
+    assert engine_all == sim_all and runs > 1
+
+
+def test_depth_index_only_advances_cursor(spark, staged_dir, tmp_path):
+    pages, index = _step(spark, staged_dir, "step4")
+    sd = str(tmp_path / "state")
+    res = catalog_crawl(spark, pages, index, sd, depth="index")
+    assert res["leaves"] == 0
+    assert res["cursor"] == max(r["page_ts"] for r in index.collect())
+    # nothing left for a leaf crawl of the same consumer
+    res2 = catalog_crawl(spark, pages, index, sd, depth="leaf")
+    assert res2["pages"] == 0
+
+
+def test_guardrails(spark, staged_dir, tmp_path):
+    pages, index = _step(spark, staged_dir, "step1")
+    with pytest.raises(ValueError):
+        catalog_crawl(spark, pages, index, str(tmp_path / "x"), depth="index", max_commits=2)
+
+
+def test_independent_consumers_have_independent_cursors(spark, staged_dir, tmp_path):
+    """O30: per-consumer cursor namespacing over the same log."""
+    pages, index = _step(spark, staged_dir, "step3")
+    sd = str(tmp_path / "state")
+    r1 = catalog_crawl(spark, pages, index, sd, depth="leaf", consumer="download")
+    assert r1["leaves"] > 0
+    r2 = catalog_crawl(spark, pages, index, sd, depth="leaf", consumer="report.deleted")
+    assert r2["leaves"] == r1["leaves"]  # fresh cursor sees everything again
