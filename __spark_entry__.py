@@ -1,38 +1,818 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each entry pairs an idiomatic-Spark implementation (crawlspark operators
+/ DataFrame API) with a byte-equivalent ANSI-SQL oracle for DuckDB.
+Conventions that keep the driver's order-insensitive value-hash stable:
+
+  * every computed column is aliased identically on both sides;
+  * timestamps are rendered to strings with explicit UTC formatting
+    (Spark session TZ is pinned to UTC inside each callable);
+  * hashes are md5/sha256 hex strings (identical across engines);
+  * fractional aggregates are exact-decimal or deterministically rounded.
+
+Operator coverage index (SURVEY.md §2): O5 cursor_range_filter,
+O6/O7 ordered_scan_limit + topk_per_key, O8 distinct_commits,
+O9 commit_budget_cutoff, O10 group_count_by_commit, O13 max_cursor,
+O16 filter_project_deletes, O18 count_by_day, O19/O20 count_by_day_type,
+O21 merge_aggregate, O22 sorted_report, O24 host_parse,
+O25/O26 time_bucket_shard, O27 hash_prefix_bin, politeness/frontier
+dequeue (north_star) frontier_dequeue, bloom seen-set bloom_seen_filter;
+training-data ops: dedup_exact, dedup_minhash_lsh, dedup_simhash,
+ngram_jaccard, embedding_topk (+ rows-only LSH/multimodal variants),
+lang_id, quality_score, token_count, fingerprint, sessionize;
+TPC-H-ish pricing_summary and region_revenue_join.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+DAY_FMT_SPARK = "yyyy-MM-dd"
+DAY_FMT_DUCK = "%Y-%m-%d"
+
+CURSOR_LO = "2024-01-10 00:00:00"
+CURSOR_HI = "2024-01-20 00:00:00"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None) -> None:
+    _QUERIES[name] = fn
+    if sql is not None:
+        _ORACLES[name] = sql
+
+
+# ---------------------------------------------------------------------------
+# Crawl-core relational operators over `events` (the oracle-table mapping
+# of SURVEY.md §2 / FIXTURES.md §6: ts ≙ commit_ts, user_id ≙ host,
+# event_id ≙ url tiebreak)
+# ---------------------------------------------------------------------------
+
+def _q_cursor_range_filter(spark, sf_dir):
+    from crawlspark.operators.ordering import cursor_filter
+    import datetime as dt
+
+    ev = _t(spark, sf_dir, "events")
+    lo = dt.datetime.fromisoformat(CURSOR_LO)
+    hi = dt.datetime.fromisoformat(CURSOR_HI)
+    return cursor_filter(ev, lo, hi, ts_col="ts").select(
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        "event_type",
+        "user_id",
+    )
+
+
+_register(
+    "cursor_range_filter",
+    _q_cursor_range_filter,
+    f"""SELECT event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, event_type, user_id
+        FROM events WHERE ts > TIMESTAMP '{CURSOR_LO}' AND ts <= TIMESTAMP '{CURSOR_HI}'""",
+)
+
+
+def _q_ordered_scan_limit(spark, sf_dir):
+    from crawlspark.operators.ordering import ordered_limit
+
+    ev = _t(spark, sf_dir, "events")
+    out = ordered_limit(ev, 500, ["ts", "event_id"])
+    return out.select(
+        F.row_number().over(Window.orderBy("ts", "event_id")).alias("rn"),
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+    )
+
+
+_register(
+    "ordered_scan_limit",
+    _q_ordered_scan_limit,
+    f"""SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, event_id,
+               strftime(ts, '{TS_FMT_DUCK}') AS ts_str
+        FROM events ORDER BY ts, event_id LIMIT 500""",
+)
+
+
+def _q_topk_per_key(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+_register(
+    "topk_per_key",
+    _q_topk_per_key,
+    """SELECT user_id, event_id, rn FROM (
+         SELECT user_id, event_id,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events) t WHERE rn <= 5""",
+)
+
+
+def _q_distinct_commits(spark, sf_dir):
+    from crawlspark.operators.ordering import distinct_commits
+
+    ev = _t(spark, sf_dir, "events").withColumn("commit_ts", F.date_trunc("HOUR", "ts"))
+    out = distinct_commits(ev, "commit_ts")
+    return out.select(
+        F.date_format("commit_ts", TS_FMT_SPARK).alias("commit_str"),
+        F.dense_rank().over(Window.orderBy("commit_ts")).alias("rk"),
+    )
+
+
+_register(
+    "distinct_commits",
+    _q_distinct_commits,
+    f"""SELECT strftime(commit_ts, '{TS_FMT_DUCK}') AS commit_str,
+               dense_rank() OVER (ORDER BY commit_ts) AS rk
+        FROM (SELECT DISTINCT date_trunc('hour', ts) AS commit_ts FROM events)""",
+)
+
+
+def _q_commit_budget_cutoff(spark, sf_dir):
+    from crawlspark.operators.ordering import commit_budget_cutoff
+
+    ev = _t(spark, sf_dir, "events").withColumn("commit_ts", F.date_trunc("HOUR", "ts"))
+    kept = commit_budget_cutoff(ev, 100, ts_col="commit_ts")
+    return kept.groupBy(F.date_format("commit_ts", TS_FMT_SPARK).alias("commit_str")).agg(
+        F.count("*").alias("n")
+    )
+
+
+_register(
+    "commit_budget_cutoff",
+    _q_commit_budget_cutoff,
+    f"""WITH c AS (SELECT *, date_trunc('hour', ts) AS commit_ts FROM events),
+            r AS (SELECT commit_ts, dense_rank() OVER (ORDER BY commit_ts) AS rk
+                  FROM (SELECT DISTINCT commit_ts FROM c))
+        SELECT strftime(c.commit_ts, '{TS_FMT_DUCK}') AS commit_str, count(*) AS n
+        FROM c JOIN r USING (commit_ts) WHERE r.rk <= 100
+        GROUP BY 1""",
+)
+
+
+def _q_group_count_by_commit(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("HOUR", "ts"), TS_FMT_SPARK).alias("commit_str")
+    ).agg(F.count("*").alias("pending"))
+
+
+_register(
+    "group_count_by_commit",
+    _q_group_count_by_commit,
+    f"""SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS commit_str,
+               count(*) AS pending
+        FROM events GROUP BY 1""",
+)
+
+
+def _q_max_cursor(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.date_format(F.max("ts"), TS_FMT_SPARK).alias("cursor"),
+        F.count("*").alias("n"),
+    )
+
+
+_register(
+    "max_cursor",
+    _q_max_cursor,
+    f"SELECT strftime(max(ts), '{TS_FMT_DUCK}') AS cursor, count(*) AS n FROM events",
+)
+
+
+def _q_filter_project_deletes(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("event_type") == "error").select(
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"), "event_id", "user_id"
+    )
+
+
+_register(
+    "filter_project_deletes",
+    _q_filter_project_deletes,
+    f"""SELECT strftime(ts, '{TS_FMT_DUCK}') AS ts_str, event_id, user_id
+        FROM events WHERE event_type = 'error'""",
+)
+
+
+def _q_count_by_day(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format(F.date_trunc("DAY", "ts"), DAY_FMT_SPARK).alias("day")).agg(
+        F.count("*").alias("value")
+    )
+
+
+_register(
+    "count_by_day",
+    _q_count_by_day,
+    f"""SELECT strftime(date_trunc('day', ts), '{DAY_FMT_DUCK}') AS day, count(*) AS value
+        FROM events GROUP BY 1""",
+)
+
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _q_count_by_day_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ] + [F.count("*").alias("total")]
+    return ev.groupBy(
+        F.date_format(F.date_trunc("DAY", "ts"), DAY_FMT_SPARK).alias("day")
+    ).agg(*aggs)
+
+
+_register(
+    "count_by_day_type",
+    _q_count_by_day_type,
+    f"""SELECT strftime(date_trunc('day', ts), '{DAY_FMT_DUCK}') AS day,
+               {', '.join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in EVENT_TYPES)},
+               count(*) AS total
+        FROM events GROUP BY 1""",
+)
+
+
+def _q_merge_aggregate(spark, sf_dir):
+    """O21: two independent cursor windows aggregated then key-merged
+    (union + re-aggregate) — must equal the full-range aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("DAY", "ts"), DAY_FMT_SPARK).alias("day")
+    lo = ev.where(F.col("ts") <= CURSOR_LO).groupBy(day).agg(
+        F.count("*").alias("value"), F.sum(F.col("value").cast("decimal(18,2)")).alias("v")
+    )
+    hi = ev.where(F.col("ts") > CURSOR_LO).groupBy(day).agg(
+        F.count("*").alias("value"), F.sum(F.col("value").cast("decimal(18,2)")).alias("v")
+    )
+    return (
+        lo.unionByName(hi)
+        .groupBy("day")
+        .agg(F.sum("value").alias("value"), F.sum("v").cast("double").alias("value_sum"))
+    )
+
+
+_register(
+    "merge_aggregate",
+    _q_merge_aggregate,
+    f"""WITH lo AS (SELECT strftime(date_trunc('day', ts), '{DAY_FMT_DUCK}') AS day,
+                           count(*) AS value, sum(CAST(value AS DECIMAL(18,2))) AS v
+                    FROM events WHERE ts <= TIMESTAMP '{CURSOR_LO}' GROUP BY 1),
+         hi AS (SELECT strftime(date_trunc('day', ts), '{DAY_FMT_DUCK}') AS day,
+                       count(*) AS value, sum(CAST(value AS DECIMAL(18,2))) AS v
+                FROM events WHERE ts > TIMESTAMP '{CURSOR_LO}' GROUP BY 1),
+         u AS (SELECT * FROM lo UNION ALL SELECT * FROM hi)
+        SELECT day, sum(value) AS value, CAST(sum(v) AS DOUBLE) AS value_sum
+        FROM u GROUP BY day""",
+)
+
+
+def _q_host_parse(spark, sf_dir):
+    """O24: synthesize a url from `documents.source`, parse host+path
+    back out with the engine's regexes, group-count per host."""
+    from crawlspark.functions.urls import host_of, path_of
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/docs/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return (
+        urls.select(host_of("url").alias("host"), path_of("url").alias("path"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"), F.min("path").alias("first_path"))
+    )
+
+
+_register(
+    "host_parse",
+    _q_host_parse,
+    """WITH u AS (SELECT 'https://' || source || '.example/docs/d' || CAST(doc_id AS VARCHAR) AS url
+                  FROM documents)
+       SELECT regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+              count(*) AS n,
+              min(regexp_extract(url, 'https?://[^/?#]+(/[^?#]*)', 1)) AS first_path
+       FROM u GROUP BY 1""",
+)
+
+
+def _q_hash_prefix_bin(spark, sf_dir):
+    from crawlspark.functions.urls import hash_prefix_bin
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(hash_prefix_bin(F.col("source"), levels=2).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_register(
+    "hash_prefix_bin",
+    _q_hash_prefix_bin,
+    """SELECT substr(sha256(source), 1, 2) || '/' || substr(sha256(source), 3, 2) AS bin,
+              count(*) AS n
+       FROM documents GROUP BY 1""",
+)
+
+
+def _q_time_bucket_shard(spark, sf_dir):
+    """O25 timestamp-path explode + O26 fixed-width bucket as partition
+    keys: (year, month, day, bucket500) fanout counts."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.floor(F.col("event_id") / 500).alias("bucket"),
+    ).agg(F.count("*").alias("n"))
+
+
+_register(
+    "time_bucket_shard",
+    _q_time_bucket_shard,
+    """SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+              CAST(day(ts) AS INT) AS d,
+              CAST(floor(event_id / 500) AS BIGINT) AS bucket, count(*) AS n
+       FROM events GROUP BY 1, 2, 3, 4""",
+)
+
+
+PRIORITY_SQL = ("CASE event_type WHEN 'purchase' THEN 0 WHEN 'signup' THEN 1 "
+                "WHEN 'click' THEN 2 WHEN 'view' THEN 3 ELSE 4 END")
+
+
+def _q_frontier_dequeue(spark, sf_dir):
+    """The flagship politeness dequeue: events as a frontier (user_id ≙
+    host, event-type ≙ priority class), per-host top-3 then global
+    ordered top-100 — O6+O7+O11 composed."""
+    ev = _t(spark, sf_dir, "events")
+    pr = (
+        F.when(F.col("event_type") == "purchase", 0)
+        .when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "view", 3)
+        .otherwise(4)
+    )
+    fr = ev.select("user_id", "event_id", "ts", pr.alias("priority"))
+    w = Window.partitionBy("user_id").orderBy("priority", "ts", "event_id")
+    deq = fr.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    wg = Window.orderBy("priority", "ts", "event_id")
+    return (
+        deq.withColumn("grank", F.row_number().over(wg))
+        .where(F.col("grank") <= 100)
+        .select("grank", "user_id", "event_id", "priority")
+    )
+
+
+_register(
+    "frontier_dequeue",
+    _q_frontier_dequeue,
+    f"""WITH fr AS (SELECT user_id, event_id, ts, {PRIORITY_SQL} AS priority FROM events),
+            deq AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY priority, ts, event_id) AS rn
+                    FROM fr)
+        SELECT grank, user_id, event_id, priority FROM (
+          SELECT user_id, event_id, priority,
+                 row_number() OVER (ORDER BY priority, ts, event_id) AS grank
+          FROM deq WHERE rn <= 3) t
+        WHERE grank <= 100""",
+)
+
+
+def _q_bloom_seen_filter(spark, sf_dir):
+    """Bloom-prefiltered seen-set difference — must equal the exact
+    anti-join (the oracle)."""
+    from crawlspark.operators.bloom import seen_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = docs.select(
+        F.concat(F.lit("https://d.example/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        "doc_id",
+    )
+    seen = cand.where(F.col("doc_id") % 3 == 0).select("url")
+    return seen_filter(spark, cand, seen, use_bloom=True).select("doc_id", "url")
+
+
+_register(
+    "bloom_seen_filter",
+    _q_bloom_seen_filter,
+    """SELECT doc_id, 'https://d.example/doc/' || CAST(doc_id AS VARCHAR) AS url
+       FROM documents WHERE doc_id % 3 <> 0""",
+)
+
+
+def _q_sessionize(spark, sf_dir):
+    """Stateful sessionization in batch: 30-min-gap sessions per user via
+    lag + cumulative sum (the batch twin of the streaming session op)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+_register(
+    "sessionize",
+    _q_sessionize,
+    """WITH g AS (SELECT user_id, ts, event_id,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id,
+                      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM g)
+       SELECT user_id, session_id, count(*) AS n_events
+       FROM s GROUP BY user_id, session_id""",
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish analytics (the bench headliners)
+# ---------------------------------------------------------------------------
+
+def _q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_register(
+    "pricing_summary",
+    _q_pricing_summary,
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+              count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+
+
+def _q_region_revenue_join(spark, sf_dir):
+    """Star join with broadcast dims: revenue per region name."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_register(
+    "region_revenue_join",
+    _q_region_revenue_join,
+    """SELECT r_name,
+              CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+              count(*) AS n_items
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators over `documents` / `embeddings`
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf_dir):
+    from crawlspark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_register(
+    "dedup_exact",
+    _q_dedup_exact,
+    """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper
+       FROM documents GROUP BY 1""",
+)
+
+_MH_N, _MH_BAND, _MH_K = 8, 2, 3
+
+
+def _duck_shingles(k: int = _MH_K) -> str:
+    """DuckDB expression for the k-word shingle list of `text`."""
+    return (
+        f"CASE WHEN len(string_split(text, ' ')) < {k} THEN [text] "
+        f"ELSE list_transform(range(1, len(string_split(text, ' ')) - {k - 2}), "
+        f"i -> array_to_string(string_split(text, ' ')[i:i+{k - 1}], ' ')) END"
+    )
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from crawlspark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=_MH_N, band_size=_MH_BAND, k=_MH_K
+    )
+
+
+_mh_sig_cols = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}" for i in range(_MH_N)
+)
+_mh_band_rows = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(mh{b * _MH_BAND} || '|' || mh{b * _MH_BAND + 1}) AS band_key FROM sigs"
+    for b in range(_MH_N // _MH_BAND)
+)
+_register(
+    "dedup_minhash_lsh",
+    _q_dedup_minhash_lsh,
+    f"""WITH sh AS (SELECT doc_id, {_duck_shingles()} AS sh FROM documents),
+            sigs AS (SELECT doc_id, {_mh_sig_cols} FROM sh),
+            bands AS ({_mh_band_rows})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_idx, band_key)
+        WHERE a.doc_id < b.doc_id""",
+)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from crawlspark.operators.textops import simhash16
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+_sim_bits = " + ".join(
+    f"""(CASE WHEN list_sum(list_transform(string_split(text, ' '),
+         t -> CASE WHEN (CASE WHEN ascii(substr(md5(t), {i + 1}, 1)) >= 97
+                              THEN ascii(substr(md5(t), {i + 1}, 1)) - 87
+                              ELSE ascii(substr(md5(t), {i + 1}, 1)) - 48 END) >= 8
+                   THEN 1 ELSE -1 END)) >= 0 THEN {2 ** i} ELSE 0 END)"""
+    for i in range(16)
+)
+_register(
+    "dedup_simhash",
+    _q_dedup_simhash,
+    f"SELECT doc_id, CAST({_sim_bits} AS INT) AS simhash FROM documents",
+)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from crawlspark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, max_id=60, threshold=0.05
+    )
+
+
+_register(
+    "ngram_jaccard",
+    _q_ngram_jaccard,
+    f"""WITH sh AS (SELECT doc_id, unnest(list_distinct({_duck_shingles()})) AS s
+                    FROM documents WHERE doc_id < 60),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+        SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE round(i / (na.n + nb.n - i), 6) >= 0.05""",
+)
+
+
+def _q_embedding_topk(spark, sf_dir):
+    from crawlspark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.where(F.col("vec_id") < 5), emb, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+_register(
+    "embedding_topk",
+    _q_embedding_topk,
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_sum(list_transform(range(1, len(qv) + 1),
+                               i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+       SELECT query_id, neighbor_id, rank FROM (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         FROM scored) t
+       WHERE rank <= 5""",
+)
+
+
+def _q_lang_id(spark, sf_dir):
+    from crawlspark.operators.textops import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _duck_occ(word: str) -> str:
+    pad = f"' ' || text || ' '"
+    needle = f" {word} "
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+    )
+
+
+from crawlspark.operators.textops import LANG_MARKERS, STOPWORDS  # noqa: E402
+
+_lang_score_sql = {
+    lang: " + ".join(_duck_occ(w) for w in markers) for lang, markers in LANG_MARKERS.items()
+}
+_langs = list(LANG_MARKERS)
+_lang_case = f"'{_langs[-1]}'"
+for _lang in reversed(_langs[:-1]):
+    _conds = " AND ".join(
+        f"({_lang_score_sql[_lang]}) >= ({_lang_score_sql[o]})" for o in _langs if o != _lang
+    )
+    _lang_case = f"CASE WHEN {_conds} THEN '{_lang}' ELSE {_lang_case} END"
+
+_register("lang_id", _q_lang_id, f"SELECT doc_id, {_lang_case} AS lang_pred FROM documents")
+
+
+def _q_token_count(spark, sf_dir):
+    from crawlspark.operators.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+_register(
+    "token_count",
+    _q_token_count,
+    """SELECT doc_id,
+              CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars
+       FROM documents""",
+)
+
+_stop_sql = " + ".join(_duck_occ(w) for w in STOPWORDS)
+_ntok_sql = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+
+
+def _q_quality_score(spark, sf_dir):
+    from crawlspark.operators.textops import quality_micro, stop_ratio_micro, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        stop_ratio_micro("text").alias("stop_ratio_micro"),
+        quality_micro("text").alias("quality_micro"),
+    )
+
+
+_register(
+    "quality_score",
+    _q_quality_score,
+    f"""SELECT doc_id, {_ntok_sql} AS n_tokens,
+               CAST(floor(({_stop_sql}) * 1000000 / {_ntok_sql}) AS BIGINT) AS stop_ratio_micro,
+               CAST(least({_ntok_sql}, 400) * 1250
+                    + least(floor((length(text) - ({_ntok_sql} - 1)) * 37500 / {_ntok_sql}), 300000)
+                    + least(floor(({_stop_sql}) * 1000000 / {_ntok_sql}), 200000) AS BIGINT) AS quality_micro
+        FROM documents""",
+)
+
+
+def _q_fingerprint(spark, sf_dir):
+    from crawlspark.operators.textops import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+_register("fingerprint", _q_fingerprint, "SELECT doc_id, md5(lower(text)) AS fp FROM documents")
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible ops (driver records rows-only checks)
+# ---------------------------------------------------------------------------
+
+def _q_embedding_lsh_topk(spark, sf_dir):
+    from crawlspark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb.where(F.col("vec_id") < 5), emb, k=5, n_planes=4)
+
+
+_register("embedding_lsh_topk", _q_embedding_lsh_topk, None)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from crawlspark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+_register("simhash_pairs", _q_simhash_pairs, None)
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    from crawlspark.operators.multimodal import build_media_table, decode_media
+
+    return decode_media(build_media_table(spark, 96))
+
+
+_register("multimodal_decode", _q_multimodal_decode, None)
+
+
+def _q_crawl_mini_epoch(spark, sf_dir):
+    """End-to-end mini web-crawl epoch over an in-memory corpus: the full
+    dequeue→fetch→extract→discover dataflow, returned as the visited
+    trace. Driver rows-only check; semantics pinned by tests/."""
+    import os
+    import tempfile
+
+    from crawlspark.plans.epoch import CrawlConfig, visited_trace, web_crawl
+    from crawlspark.testdata import build_pages, build_seeds, pages_only
+
+    full = build_pages(spark, 120, n_hosts=6)
+    with tempfile.TemporaryDirectory() as td:
+        state = os.path.join(td, "state")
+        web_crawl(
+            spark, pages_only(full), state, build_seeds(full, 4),
+            config=CrawlConfig(default_budget=4, max_epochs=2),
+        )
+        out = visited_trace(spark, state).select("epoch", "url", "status")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmpdir
+    return out
+
+
+_register("crawl_mini_epoch", _q_crawl_mini_epoch, None)
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the politeness frontier
+    dequeue (per-host top-K + global ordered budget)."""
+    return _QUERIES["frontier_dequeue"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

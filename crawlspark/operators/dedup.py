@@ -1,0 +1,163 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Web-scale training-data dedup over a ``documents(doc_id, text, ...)``
+table. Every operator is a composition of built-in DataFrame ops —
+shingling/hashing happen inside array expressions (no explode until the
+final candidate-pair join), so the expensive part is one narrow
+signature projection plus a self-equi-join on band keys.
+
+Determinism/portability: hashes are md5 hex strings and "min" is the
+*lexicographic* string min — identical in Spark and the DuckDB oracle,
+no 64-bit integer conversion games.
+
+Scale notes:
+  * MinHash-LSH candidate join is an equi-join on (band_idx, band_key):
+    shuffle partitions spread evenly unless one band key is degenerate
+    (all-identical docs) — the classic fix (salting the reduce side /
+    capping bucket size) applies; bucket sizes are observable via
+    ``groupBy(band_key).count()``.
+  * Exact dedup is a single hash-aggregate on md5(text) — map-side
+    partial, one shuffle of (hash, id) pairs, never the texts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles as strings; docs shorter than k words yield one
+    shingle = the whole text."""
+    w = F.split(text, " ")
+    return F.when(
+        F.size(w) < k,
+        F.array(F.col(text) if isinstance(text, str) else text),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        )
+    )
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 8, k: int = 3) -> list[Column]:
+    """MinHash signature: for seed i, min over shingles of
+    md5('{i}|' || shingle) — string-min, dialect-portable."""
+    sh = word_shingles(text, k)
+
+    def seeded_md5(i: int):
+        # factory, not a default-arg lambda: Spark would bind a second
+        # lambda param to the array index
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    return [
+        F.array_min(F.transform(sh, seeded_md5(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  num_hashes: int = 8, band_size: int = 2, k: int = 3) -> DataFrame:
+    """(id, band_idx, band_key) — one row per band; band_key is the md5
+    of the band's concatenated signature slots."""
+    sigs = df.select(F.col(id_col), *minhash_signature(F.col(text_col), num_hashes, k))
+    n_bands = num_hashes // band_size
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)])).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ])
+    return sigs.select(id_col, F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 8, band_size: int = 2, k: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band. Output
+    (id_a, id_b) with id_a < id_b, distinct."""
+    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, k)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate clusters by content hash: (text_hash, n_dups,
+    keeper) where keeper is the min id — the canonical representative."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3, max_id: int | None = None,
+                        threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (optionally
+    restricted to ids < max_id for the quadratic verify stage after LSH).
+    Computed by exploding distinct shingles and counting co-occurrences:
+    |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|."""
+    base = df if max_id is None else df.where(F.col(id_col) < max_id)
+    sh = base.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a").join(sh.alias("b"), "sh")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup candidates: pairs within ``max_hamming`` of the
+    16-bit fingerprint. Banding on the two bytes (any identical byte →
+    candidate, since hamming<=3 can't damage both bytes... it can — this
+    is a recall-oriented candidate stage, verified by exact hamming)."""
+    from crawlspark.operators.textops import hamming16, simhash16
+
+    sh = df.select(F.col(id_col), simhash16(F.col(text_col)).alias("sh"))
+    bands = sh.select(
+        id_col, "sh",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("sh") % 256).cast("int").alias("key")),
+                F.struct(F.lit(1).alias("band"), F.shiftright("sh", 8).cast("int").alias("key")),
+            )
+        ).alias("b"),
+    ).select(id_col, "sh", "b.band", "b.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming16(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -35,6 +35,6 @@ def staged_dir(spark, tmp_path_factory):
     return d
 
 
-@pytest.fixture()
+@pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
