@@ -580,10 +580,9 @@ _register(
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    from crawlspark.operators.textops import simhash16
+    from crawlspark.operators.textops import simhash16_agg
 
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    return simhash16_agg(_t(spark, sf_dir, "documents"))
 
 
 _sim_bits = " + ".join(

@@ -57,11 +57,24 @@ def minhash_signature(text: Column | str, num_hashes: int = 8, k: int = 3) -> li
     ]
 
 
+def minhash_signature_agg(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                          num_hashes: int = 8, k: int = 3) -> DataFrame:
+    """Signature via explode + min-aggregate: the shingle array is built
+    ONCE per doc (vs once per signature column), the per-shingle md5 work
+    distributes across cores after the explode, and the groupBy mins are
+    map-side partial. Same result as ``minhash_signature``."""
+    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
+    return sh.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ])
+
+
 def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   num_hashes: int = 8, band_size: int = 2, k: int = 3) -> DataFrame:
     """(id, band_idx, band_key) — one row per band; band_key is the md5
     of the band's concatenated signature slots."""
-    sigs = df.select(F.col(id_col), *minhash_signature(F.col(text_col), num_hashes, k))
+    sigs = minhash_signature_agg(df, id_col, text_col, num_hashes, k)
     n_bands = num_hashes // band_size
     bands = F.array(*[
         F.struct(
@@ -134,9 +147,9 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     16-bit fingerprint. Banding on the two bytes (any identical byte →
     candidate, since hamming<=3 can't damage both bytes... it can — this
     is a recall-oriented candidate stage, verified by exact hamming)."""
-    from crawlspark.operators.textops import hamming16, simhash16
+    from crawlspark.operators.textops import hamming16, simhash16_agg
 
-    sh = df.select(F.col(id_col), simhash16(F.col(text_col)).alias("sh"))
+    sh = df.transform(lambda d: simhash16_agg(d, id_col, text_col)).withColumnRenamed("simhash", "sh")
     bands = sh.select(
         id_col, "sh",
         F.explode(

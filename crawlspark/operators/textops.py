@@ -151,6 +151,26 @@ def simhash16(text: Column | str) -> Column:
     return sum(bits[1:], bits[0]).cast("int")
 
 
+def simhash16_agg(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Column:
+    """DataFrame-level simhash: explode tokens, hash each token ONCE
+    (the column variant computes md5 16× per token), then 16 conditional
+    sums in one map-side-partial aggregate. Same result as
+    ``simhash16``; the scale-right shape."""
+    w = (
+        df.select(F.col(id_col), F.explode(words_of(F.col(text_col))).alias("t"))
+        .withColumn("h", F.md5("t"))
+    )
+    aggs = [
+        F.sum(
+            F.when(_nibble_val(F.substring("h", i + 1, 1)) >= 8, 1).otherwise(-1)
+        ).alias(f"w{i}")
+        for i in range(16)
+    ]
+    g = w.groupBy(id_col).agg(*aggs)
+    bits = [F.when(F.col(f"w{i}") >= 0, F.lit(2 ** i)).otherwise(F.lit(0)) for i in range(16)]
+    return g.select(F.col(id_col), sum(bits[1:], bits[0]).cast("int").alias("simhash"))
+
+
 def hamming16(a: Column, b: Column) -> Column:
     """Popcount of a XOR b for 16-bit ints, via nibble lookup."""
     x = a.bitwiseXOR(b)

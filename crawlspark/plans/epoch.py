@@ -31,6 +31,8 @@ Scale notes (100 TB / 10^10-frontier):
 from __future__ import annotations
 
 import datetime as dt
+import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -69,6 +71,8 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_fpp: float = 0.01
     bloom_shards: int = 32
+    analyze: bool = False            # inline text analysis on fetch (tokens/simhash/quality)
+    broadcast_threshold: int = 100_000  # dequeues larger than this use a shuffle-hash join
 
     def validate(self) -> None:
         if self.default_budget < 1:
@@ -108,9 +112,19 @@ def web_crawl(
     stats_out: list[dict] = []
     total_fetched = sum(s.get("urls_fetched", 0) for s in state.epoch_stats())
 
+    trace = os.environ.get("CRAWLSPARK_TRACE") == "1"
+    tmark = [time.time()]
+
+    def _t(label: str) -> None:
+        if trace:
+            now = time.time()
+            print(f"    [epoch trace] {label}: {now - tmark[0]:.2f}s", flush=True)
+            tmark[0] = now
+
     for epoch in range(start, cfg.max_epochs):
         if cfg.max_total_urls is not None and total_fetched >= cfg.max_total_urls:
             break
+        tmark[0] = time.time()
 
         # 1. pending frontier: previous epoch's remainder, or the seeds.
         if epoch == 0:
@@ -134,6 +148,7 @@ def web_crawl(
             if cfg.use_bloom
             else None
         )
+        _t("bloom build")
         candidates = seen_filter(
             spark, pending, seen,
             use_bloom=cfg.use_bloom, shards_bc=shards_bc, seen_count=seen_count,
@@ -148,18 +163,24 @@ def web_crawl(
             dequeued = ordered_limit(dequeued, cfg.global_budget_per_epoch, list(ORDER_COLS))
         dequeued = dequeued.cache()
         n_dequeued = dequeued.count()
+        _t("dequeue count")
         if n_dequeued == 0:
             dequeued.unpersist()
             allowed.unpersist()
             break
 
-        # 4. "fetch": inner equi-join against the pages snapshot with the
-        #    small dequeued side broadcast — ONE scan of pages, no shuffle
-        #    of the 100 TB table; misses resolved by a broadcast anti-join.
-        #    (At 10^8-row dequeues, switch to a shuffle-hash join against a
-        #    url-hash-bucketed pages table instead of broadcasting.)
-        deq = F.broadcast(dequeued) if n_dequeued <= 2_000_000 else dequeued
-        hits = pages.join(deq, "url", "inner").select(
+        # 4. "fetch": inner equi-join against the pages snapshot. Small
+        #    dequeues broadcast (one pages scan, no shuffle of the 100 TB
+        #    table); large dequeues use a shuffle-hash join instead —
+        #    building a multi-hundred-MB broadcast relation is
+        #    single-threaded driver work and anti-scales. At production
+        #    scale the pages table is bucketed by url hash so this join
+        #    co-locates without shuffling pages.
+        if n_dequeued <= cfg.broadcast_threshold:
+            joined = pages.join(F.broadcast(dequeued), "url", "inner")
+        else:
+            joined = pages.join(dequeued.hint("SHUFFLE_HASH"), "url", "inner")
+        base = joined.select(
             "url", "host", "priority", "discovery_ts", "warc_ts",
             extract_text_udf(F.col("html")).alias("text"),
             "lang",
@@ -167,6 +188,26 @@ def web_crawl(
             F.length("html").cast("long").alias("content_bytes"),
             F.col("html"),
         )
+        # analysis in a second projection so the extraction UDF column is
+        # referenced (and evaluated) exactly once
+        if cfg.analyze:
+            from crawlspark.operators.textops import quality_micro, simhash16, token_count
+
+            base = base.withColumns({
+                "n_tokens": token_count(F.col("text")),
+                "simhash": simhash16(F.col("text")),
+                "quality_micro": quality_micro(F.col("text")),
+            })
+        else:
+            base = base.withColumns({
+                "n_tokens": F.lit(None).cast("long"),
+                "simhash": F.lit(None).cast("int"),
+                "quality_micro": F.lit(None).cast("long"),
+            })
+        hits = base.select(
+            "url", "host", "priority", "discovery_ts", "warc_ts", "text", "lang",
+            "status", "content_bytes", "n_tokens", "simhash", "quality_micro", "html",
+        ).cache()  # single pages scan: misses + union + links all reuse it
         misses = dequeued.join(hits.select("url"), "url", "left_anti").select(
             "url", "host", "priority", "discovery_ts",
             F.lit(None).cast("timestamp").alias("warc_ts"),
@@ -174,11 +215,23 @@ def web_crawl(
             F.lit(None).cast("string").alias("lang"),
             F.lit("missing").alias("status"),
             F.lit(0).cast("long").alias("content_bytes"),
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(None).cast("int").alias("simhash"),
+            F.lit(None).cast("long").alias("quality_micro"),
             F.lit(None).cast("binary").alias("html"),
         )
-        fetched_rows = hits.unionByName(misses).cache()
+        fetched_rows = hits.unionByName(misses)
 
         # 5. discover outlinks → next frontier (priority decays by depth).
+        #    next = dedupe(remaining ∪ links) ∖ dequeued, where dedupe
+        #    keeps the min (discovery_ts, priority) entry — an existing
+        #    pending row always beats a fresh re-discovery (its
+        #    discovery_ts is older), matching the sequential-reference
+        #    semantics. Links to urls seen in EARLIER epochs may linger
+        #    in the frontier for one epoch; the seen-filter at the next
+        #    dequeue removes them, so the visited set is unaffected and
+        #    this epoch saves a whole seen-join. One shuffle (the
+        #    groupBy), one broadcast anti-join.
         links = (
             fetched_rows.where(F.col("status") == "ok")
             .select(
@@ -189,22 +242,20 @@ def web_crawl(
             .withColumn("discovery_ts", F.lit(_discovery_ts(epoch + 1)))
         )
         remaining = allowed.join(dequeued.select("url"), "url", "left_anti")
-        links_dedup = (
-            links.groupBy("url")
-            .agg(F.min(F.struct("priority", "discovery_ts")).alias("s"))
-            .select("url", F.col("s.priority").alias("priority"), F.col("s.discovery_ts").alias("discovery_ts"))
-        )
-        discovered = (
-            seen_filter(
-                spark, links_dedup, seen,
-                use_bloom=cfg.use_bloom, shards_bc=shards_bc, seen_count=seen_count,
+        next_frontier = (
+            remaining.select("url", "priority", "discovery_ts")
+            .unionByName(links)
+            .groupBy("url")
+            .agg(F.min(F.struct("discovery_ts", "priority")).alias("s"))
+            .select(
+                "url",
+                F.col("s.priority").alias("priority"),
+                F.col("s.discovery_ts").alias("discovery_ts"),
             )
             .join(dequeued.select("url"), "url", "left_anti")
-            .join(remaining.select("url"), "url", "left_anti")
-        )
-        next_frontier = remaining.select("url", "priority", "discovery_ts").unionByName(discovered) \
-            .withColumn("host", host_of(F.col("url"))) \
+            .withColumn("host", host_of(F.col("url")))
             .select("url", "host", "priority", "discovery_ts")
+        )
 
         # 6. per-partition lineage + fetch metrics (north_star checkpoint).
         #    Collected driver-side (one row per partition — tiny); epoch
@@ -221,6 +272,7 @@ def web_crawl(
             )
             .collect()
         )
+        _t("lineage agg")
         lineage = spark.createDataFrame(
             [
                 ("download", r["partition_id"], r["cursor_ts"],
@@ -232,8 +284,11 @@ def web_crawl(
 
         # 7. stage all three tables, then ONE atomic commit.
         state.fetched.write_epoch(fetched_out, epoch)
+        _t("write fetched")
         state.frontier.write_epoch(next_frontier, epoch)
+        _t("write frontier")
         state.lineage.write_epoch(lineage, epoch)
+        _t("write lineage")
 
         max_warc = max((r["cursor_ts"] for r in lineage_rows if r["cursor_ts"]), default=EPOCH_MIN)
         cursor = max(state.cursor("download"), max_warc)
@@ -249,7 +304,7 @@ def web_crawl(
         total_fetched += epoch_stats["urls_fetched"] + epoch_stats["urls_missing"]
 
         dequeued.unpersist()
-        fetched_rows.unpersist()
+        hits.unpersist()
         allowed.unpersist()
     return stats_out
 

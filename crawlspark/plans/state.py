@@ -32,6 +32,10 @@ FETCHED_SCHEMA = T.StructType([
     T.StructField("lang", T.StringType()),
     T.StructField("status", T.StringType()),      # 'ok' | 'missing'
     T.StructField("content_bytes", T.LongType()),
+    # inline text-analysis columns (populated when CrawlConfig.analyze)
+    T.StructField("n_tokens", T.LongType()),
+    T.StructField("simhash", T.IntegerType()),
+    T.StructField("quality_micro", T.LongType()),
 ])
 
 FRONTIER_SCHEMA = T.StructType([

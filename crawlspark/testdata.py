@@ -64,6 +64,8 @@ def build_pages(
     leaves_per_commit: int = 16,
     commits_per_page: int = 4,
     n_outlinks: int = 3,
+    n_words_base: int = 20,
+    n_words_spread: int = 41,
     id_offset: int = 0,
 ) -> DataFrame:
     """The pages table plus generation-internal columns.
@@ -80,7 +82,7 @@ def build_pages(
         F.unix_timestamp(F.lit(BASE_TS).cast("timestamp")) + commit_idx * COMMIT_SECONDS
     )
 
-    n_words = (F.lit(20) + F.pmod(pid * 7919, F.lit(41))).cast("int")
+    n_words = (F.lit(n_words_base) + F.pmod(pid * 7919, F.lit(n_words_spread))).cast("int")
     words_arr = F.array(*[F.lit(w) for w in WORDS])
     text = F.concat_ws(
         " ",
@@ -133,9 +135,9 @@ def build_index(pages_full: DataFrame) -> DataFrame:
 
 
 def build_seeds(pages_full: DataFrame, n_seeds: int = 16) -> DataFrame:
-    """Seed list: every 29th page url (skipping /private/ ids), priority 0."""
+    """Seed list: every 7th page url (skipping /private/ ids), priority 0."""
     return (
-        pages_full.where((F.col("id") % 29 == 1) & (F.col("id") % 13 != 0))
+        pages_full.where((F.col("id") % 7 == 1) & (F.col("id") % 13 != 0))
         .orderBy("id")
         .limit(n_seeds)
         .select(F.col("url"), F.lit(0).alias("priority"))
@@ -174,18 +176,23 @@ def write_corpus(
     n_hosts: int = 50,
     leaves_per_commit: int = 16,
     commits_per_page: int = 4,
+    n_seeds: int = 16,
+    n_outlinks: int = 3,
+    n_words_base: int = 20,
+    n_words_spread: int = 41,
 ) -> dict[str, str]:
     """Materialize pages + side tables as parquet under out_dir."""
     os.makedirs(out_dir, exist_ok=True)
     full = build_pages(
         spark, n_pages, n_hosts=n_hosts,
         leaves_per_commit=leaves_per_commit, commits_per_page=commits_per_page,
+        n_outlinks=n_outlinks, n_words_base=n_words_base, n_words_spread=n_words_spread,
     )
     paths = {}
     for name, df in {
         "pages": pages_only(full),
         "index": build_index(full),
-        "seeds": build_seeds(full),
+        "seeds": build_seeds(full, n_seeds),
         "host_budgets": build_host_budgets(full),
         "robots": build_robots(full),
     }.items():
