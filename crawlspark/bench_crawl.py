@@ -23,6 +23,9 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--master", default=None,
+                    help="override master, e.g. local-cluster[2,4,6144] for "
+                         "true multi-executor scaling evidence")
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--state", required=True)
     ap.add_argument("--gen-pages", type=int, default=0, help="generate corpus if missing")
@@ -30,8 +33,12 @@ def main() -> None:
     ap.add_argument("--gen-seeds", type=int, default=20000)
     ap.add_argument("--budget", type=int, default=256)
     ap.add_argument("--max-epochs", type=int, default=6)
-    ap.add_argument("--analyze", action="store_true", default=True,
-                    help="inline text analysis during fetch (the realistic pipeline)")
+    ap.add_argument("--analyze", action=argparse.BooleanOptionalAction, default=False,
+                    help="inline text analysis during fetch")
+    ap.add_argument("--shuffle-partitions", type=int, default=64,
+                    help="FIXED across parallelism levels: the scaling "
+                         "comparison must run the identical job (same plan, "
+                         "same task counts), varying only executor slots")
     args = ap.parse_args()
 
     from crawlspark.plans.epoch import CrawlConfig, web_crawl
@@ -40,19 +47,25 @@ def main() -> None:
 
     spark = get_spark(
         f"crawl-bench-{args.cpus}",
-        master=f"local[{args.cpus}]",
-        shuffle_partitions=args.cpus * 2,
+        master=args.master or f"local[{args.cpus}]",
+        shuffle_partitions=args.shuffle_partitions,
         # sandbox corpora are ~1 GB; the 128 MB default split would give
         # the heavy fetch+extract scan fewer tasks than cores. On a real
-        # cluster at 100 TB the default is correct.
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+        # cluster at 100 TB the default is correct. AQE partition
+        # coalescing is off so intermediate tables keep full-width
+        # parallelism for the NEXT epoch's reads (at real data volumes
+        # coalescing never bites — partitions stay above its target).
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
     )
 
     if args.gen_pages and not os.path.exists(os.path.join(args.corpus, "pages.parquet")):
         write_corpus(
             spark, args.corpus, n_pages=args.gen_pages, n_hosts=args.gen_hosts,
             leaves_per_commit=64, commits_per_page=16, n_seeds=args.gen_seeds,
-            n_outlinks=8, n_words_base=150, n_words_spread=250,
+            seed_stride=2, n_outlinks=8, n_words_base=80, n_words_spread=160,
         )
 
     pages = spark.read.parquet(os.path.join(args.corpus, "pages.parquet"))
@@ -64,7 +77,9 @@ def main() -> None:
     budgets = budgets.select("host", (F.col("tokens_per_epoch") * 0 + args.budget).alias("tokens_per_epoch"))
 
     # warm the OS page cache so both parallelism levels measure compute,
-    # not first-touch disk reads
+    # not first-touch disk reads. (Production note: the pages table would
+    # be bucketed by url hash in the metastore so the per-epoch fetch
+    # join co-locates without shuffling the 100 TB side.)
     pages.count()
     seeds.count()
 
@@ -73,7 +88,7 @@ def main() -> None:
         spark, pages, args.state, seeds, robots=robots, host_budgets=budgets,
         config=CrawlConfig(
             default_budget=args.budget, max_epochs=args.max_epochs, salt=8,
-            analyze=args.analyze,
+            analyze=args.analyze, local_checkpoint=True,
         ),
     )
     wall = time.time() - t0

@@ -18,7 +18,7 @@ import re
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 _P_OPEN = b"<p>"
 _P_CLOSE = b"</p>"
@@ -51,3 +51,17 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 @F.pandas_udf(ArrayType(StringType()))
 def extract_links_udf(html: pd.Series) -> pd.Series:
     return html.map(_extract_links_bytes)
+
+
+@F.pandas_udf(StructType([
+    StructField("text", StringType()),
+    StructField("links", ArrayType(StringType())),
+]))
+def extract_page_udf(html: pd.Series) -> pd.DataFrame:
+    """Single-pass extraction: decode each html payload once, produce
+    both the text and the outlink list. The fetch path uses this so the
+    (large) html column is read exactly once and never cached."""
+    return pd.DataFrame({
+        "text": html.map(_extract_text_bytes),
+        "links": html.map(_extract_links_bytes),
+    })

@@ -38,7 +38,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crawlspark.functions.extract import extract_links_udf, extract_text_udf
+from crawlspark.functions.extract import extract_page_udf, extract_text_udf
 from crawlspark.functions.urls import host_of, is_valid_http_url
 from crawlspark.operators.bloom import build_seen_shards, seen_filter
 from crawlspark.operators.ordering import (
@@ -48,7 +48,7 @@ from crawlspark.operators.ordering import (
     ordered_limit,
 )
 from crawlspark.operators.politeness import ORDER_COLS, apply_robots, topk_per_host
-from crawlspark.plans.state import LINEAGE_SCHEMA, CrawlState
+from crawlspark.plans.state import CrawlState
 
 DISCOVERY_BASE = dt.datetime(2024, 1, 1)
 
@@ -56,6 +56,32 @@ DISCOVERY_BASE = dt.datetime(2024, 1, 1)
 def _discovery_ts(epoch: int) -> dt.datetime:
     """Deterministic discovery timestamp per epoch (no wall-clock)."""
     return DISCOVERY_BASE + dt.timedelta(minutes=epoch)
+
+
+def _lineage_from_files(epoch_dir: str) -> list[tuple]:
+    """Per-partition lineage from the written epoch's parquet files:
+    (partition_id, cursor_ts, urls_fetched, urls_missing, bytes) per
+    file. Driver-side pyarrow over three narrow columns — the written
+    files are the authoritative record, so lineage can never disagree
+    with the data."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    rows: list[tuple] = []
+    for pid, path in enumerate(sorted(_glob.glob(os.path.join(epoch_dir, "*.parquet")))):
+        t = pq.read_table(path, columns=["warc_ts", "status", "content_bytes"])
+        status = t.column("status").to_pylist()
+        ok = sum(1 for s in status if s == "ok")
+        warc = [v for v in t.column("warc_ts").to_pylist() if v is not None]
+        rows.append((
+            pid,
+            max(warc) if warc else None,
+            ok,
+            len(status) - ok,
+            int(sum(v or 0 for v in t.column("content_bytes").to_pylist())),
+        ))
+    return rows
 
 
 @dataclass
@@ -73,6 +99,10 @@ class CrawlConfig:
     bloom_shards: int = 32
     analyze: bool = False            # inline text analysis on fetch (tokens/simhash/quality)
     broadcast_threshold: int = 100_000  # dequeues larger than this use a shuffle-hash join
+    local_checkpoint: bool = False   # truncate plan lineage at dequeue/fetch: the
+    # epoch plan tree is deep, and every downstream action pays Catalyst
+    # analysis of the whole tree; checkpointing caps driver-side planning
+    # cost per epoch (use reliable checkpoints on a real cluster)
 
     def validate(self) -> None:
         if self.default_budget < 1:
@@ -132,6 +162,13 @@ def web_crawl(
         else:
             pending = state.frontier.read(spark, epochs=[epoch - 1]).drop("epoch") \
                 .select("url", "priority", "discovery_ts")
+        # width-normalize: a small frontier file read yields fewer input
+        # splits than cores, starving every pre-shuffle step (bloom UDF,
+        # robots). One cheap narrow-row shuffle fixes it; skipped when the
+        # source is already wide (the at-scale case).
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if pending.rdd.getNumPartitions() < max(2, n_shuffle // 2):
+            pending = pending.repartition(n_shuffle, "url")
         seen = state.seen_urls(spark)
         seen_count = sum(
             s.get("urls_fetched", 0) + s.get("urls_missing", 0) for s in state.epoch_stats()
@@ -161,8 +198,12 @@ def web_crawl(
         dequeued = topk_per_host(allowed, host_budgets, cfg.default_budget, salt=cfg.salt)
         if cfg.global_budget_per_epoch is not None:
             dequeued = ordered_limit(dequeued, cfg.global_budget_per_epoch, list(ORDER_COLS))
-        dequeued = dequeued.cache()
-        n_dequeued = dequeued.count()
+        if cfg.local_checkpoint:
+            dequeued = dequeued.localCheckpoint(eager=True)
+            n_dequeued = dequeued.count()
+        else:
+            dequeued = dequeued.cache()
+            n_dequeued = dequeued.count()
         _t("dequeue count")
         if n_dequeued == 0:
             dequeued.unpersist()
@@ -182,11 +223,14 @@ def web_crawl(
             joined = pages.join(dequeued.hint("SHUFFLE_HASH"), "url", "inner")
         base = joined.select(
             "url", "host", "priority", "discovery_ts", "warc_ts",
-            extract_text_udf(F.col("html")).alias("text"),
+            extract_page_udf(F.col("html")).alias("page"),
             "lang",
             F.lit("ok").alias("status"),
             F.length("html").cast("long").alias("content_bytes"),
-            F.col("html"),
+        ).select(
+            "url", "host", "priority", "discovery_ts", "warc_ts",
+            F.col("page.text").alias("text"), F.col("page.links").alias("links"),
+            "lang", "status", "content_bytes",
         )
         # analysis in a second projection so the extraction UDF column is
         # referenced (and evaluated) exactly once
@@ -206,8 +250,10 @@ def web_crawl(
             })
         hits = base.select(
             "url", "host", "priority", "discovery_ts", "warc_ts", "text", "lang",
-            "status", "content_bytes", "n_tokens", "simhash", "quality_micro", "html",
-        ).cache()  # single pages scan: misses + union + links all reuse it
+            "status", "content_bytes", "n_tokens", "simhash", "quality_micro", "links",
+        )
+        # single pages scan + single html decode; html never cached
+        hits = hits.localCheckpoint(eager=False) if cfg.local_checkpoint else hits.cache()
         misses = dequeued.join(hits.select("url"), "url", "left_anti").select(
             "url", "host", "priority", "discovery_ts",
             F.lit(None).cast("timestamp").alias("warc_ts"),
@@ -218,7 +264,7 @@ def web_crawl(
             F.lit(None).cast("long").alias("n_tokens"),
             F.lit(None).cast("int").alias("simhash"),
             F.lit(None).cast("long").alias("quality_micro"),
-            F.lit(None).cast("binary").alias("html"),
+            F.lit(None).cast("array<string>").alias("links"),
         )
         fetched_rows = hits.unionByName(misses)
 
@@ -233,9 +279,8 @@ def web_crawl(
         #    this epoch saves a whole seen-join. One shuffle (the
         #    groupBy), one broadcast anti-join.
         links = (
-            fetched_rows.where(F.col("status") == "ok")
-            .select(
-                F.explode(extract_links_udf(F.col("html"))).alias("url"),
+            hits.select(
+                F.explode("links").alias("url"),
                 (F.col("priority") + 1).alias("priority"),
             )
             .where(is_valid_http_url(F.col("url")))
@@ -258,46 +303,30 @@ def web_crawl(
         )
 
         # 6. per-partition lineage + fetch metrics (north_star checkpoint).
-        #    Collected driver-side (one row per partition — tiny); epoch
-        #    totals derive from the same rows, so stats cost no extra job.
-        fetched_out = fetched_rows.drop("html")
-        lineage_rows = (
-            fetched_out.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
-            .agg(
-                F.max("warc_ts").alias("cursor_ts"),
-                F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("urls_fetched"),
-                F.sum(F.when(F.col("status") == "missing", 1).otherwise(0)).alias("urls_missing"),
-                F.sum("content_bytes").alias("bytes"),
-            )
-            .collect()
-        )
-        _t("lineage agg")
-        lineage = spark.createDataFrame(
-            [
-                ("download", r["partition_id"], r["cursor_ts"],
-                 r["urls_fetched"], r["urls_missing"], r["bytes"])
-                for r in lineage_rows
-            ],
-            LINEAGE_SCHEMA,
-        )
+        #    Derived from the just-written parquet files driver-side
+        #    (pyarrow over 3 narrow columns, one file ≙ one partition) —
+        #    no extra Spark action; the write itself is the only pass.
+        fetched_out = fetched_rows.drop("links")
 
-        # 7. stage all three tables, then ONE atomic commit.
+        # 7. stage all three tables, then ONE atomic commit. Lineage rows
+        #    are tiny and derived/written on the driver — no job.
         state.fetched.write_epoch(fetched_out, epoch)
         _t("write fetched")
         state.frontier.write_epoch(next_frontier, epoch)
         _t("write frontier")
-        state.lineage.write_epoch(lineage, epoch)
+        lineage_rows = _lineage_from_files(state.fetched._epoch_dir(epoch))
+        lineage_tuples = [("download", *r) for r in lineage_rows]
+        state.lineage.write_epoch_rows(lineage_tuples, epoch)
         _t("write lineage")
 
-        max_warc = max((r["cursor_ts"] for r in lineage_rows if r["cursor_ts"]), default=EPOCH_MIN)
+        max_warc = max((r[1] for r in lineage_rows if r[1]), default=EPOCH_MIN)
         cursor = max(state.cursor("download"), max_warc)
         epoch_stats = {
             "epoch": epoch,
             "urls_dequeued": n_dequeued,
-            "urls_fetched": int(sum(r["urls_fetched"] for r in lineage_rows)),
-            "urls_missing": int(sum(r["urls_missing"] for r in lineage_rows)),
-            "bytes": int(sum(r["bytes"] or 0 for r in lineage_rows)),
+            "urls_fetched": int(sum(r[2] for r in lineage_rows)),
+            "urls_missing": int(sum(r[3] for r in lineage_rows)),
+            "bytes": int(sum(r[4] for r in lineage_rows)),
         }
         state.commit_epoch(epoch, cursors={"download": cursor}, stats=epoch_stats)
         stats_out.append(epoch_stats)
@@ -412,6 +441,9 @@ def catalog_crawl(
         "lang",
         F.lit("ok").alias("status"),
         F.length("html").cast("long").alias("content_bytes"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("int").alias("simhash"),
+        F.lit(None).cast("long").alias("quality_micro"),
     )
     state.fetched.write_epoch(fetched_rows, run)
 

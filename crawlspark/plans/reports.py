@@ -104,22 +104,25 @@ class ReportStore:
 
     def _overwrite(self, df: DataFrame, name: str, order_cols: list[str]) -> None:
         """Atomic read-merge-rewrite: stage, swap (the whole-file rewrite
-        of CsvAggregateReportVisitor.cs:60-73, made atomic)."""
+        of CsvAggregateReportVisitor.cs:60-73, made atomic). The plan is
+        executed exactly once, into the parquet stage; the CSV mirror is
+        derived from the staged files — re-running the merged plan after
+        the swap would read the (replaced) previous report."""
         final = os.path.join(self.root, f"{name}.parquet")
         stage = os.path.join(self.root, f"_stage.{name}.parquet")
-        ordered = df.orderBy(*order_cols)  # O22 sort-before-write
-        ordered.write.mode("overwrite").parquet(stage)
+        df.orderBy(*order_cols).write.mode("overwrite").parquet(stage)  # O22 sort
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(stage, final)
-        # CSV mirror with round-trip timestamp format (O17/O23)
+        # CSV mirror with round-trip timestamp format (O17/O23), from the
+        # materialized parquet
         csv_stage = os.path.join(self.root, f"_stage.{name}.csv")
         csv_final = os.path.join(self.root, f"{name}.csv")
-        out = ordered
-        for field in ordered.schema.fields:
+        out = df.sparkSession.read.parquet(final).orderBy(*order_cols)
+        for field in out.schema.fields:
             if field.dataType.typeName() == "timestamp":
                 out = out.withColumn(field.name, F.date_format(field.name, ISO_O_FMT))
-        out.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_stage)
+        out.select(*df.columns).coalesce(1).write.mode("overwrite").option("header", True).csv(csv_stage)
         if os.path.exists(csv_final):
             shutil.rmtree(csv_final)
         os.rename(csv_stage, csv_final)

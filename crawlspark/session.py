@@ -11,8 +11,27 @@ vectorized pandas-UDF path mandated by BASELINE.json input_hint.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def package_pyfiles(out_path: str | None = None) -> str:
+    """Zip the crawlspark package for shipping to executors — the
+    ``spark-submit --py-files`` artifact. Used automatically by
+    get_spark so multi-executor masters (local-cluster / yarn / k8s)
+    can unpickle our pandas UDFs."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if out_path is None:
+        out_path = os.path.join("/tmp", "crawlspark_pyfiles.zip")
+    with zipfile.ZipFile(out_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join("crawlspark", os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    return out_path
 
 
 def get_spark(
@@ -55,4 +74,6 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not master.startswith("local["):  # multi-executor: ship the package
+        spark.sparkContext.addPyFile(package_pyfiles())
     return spark

@@ -97,6 +97,31 @@ class EpochTable:
         df.drop("epoch").write.mode("overwrite").parquet(stage)
         os.rename(stage, final)
 
+    def write_epoch_rows(self, rows: list[tuple], epoch: int) -> None:
+        """Driver-side epoch write for tiny relations (lineage/metrics):
+        already-collected rows go straight to parquet via pyarrow — no
+        Spark job, same directory layout and schema as write_epoch."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        stage = os.path.join(self.dir, f"_stage_epoch={epoch}")
+        final = self._epoch_dir(epoch)
+        for d in (stage, final):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        os.makedirs(stage)
+        pa_types = {
+            "timestamp": pa.timestamp("us"), "integer": pa.int32(),
+            "long": pa.int64(), "string": pa.string(), "double": pa.float64(),
+        }
+        arrays, names = [], []
+        for i, field in enumerate(self.schema.fields):
+            names.append(field.name)
+            vals = [r[i] for r in rows]
+            arrays.append(pa.array(vals, type=pa_types.get(field.dataType.typeName())))
+        pq.write_table(pa.table(dict(zip(names, arrays))), os.path.join(stage, "part-0.parquet"))
+        os.rename(stage, final)
+
     def read(self, spark: SparkSession, epochs: list[int] | None = None) -> DataFrame:
         """Committed rows only (optionally a subset of epochs), with the
         ``epoch`` partition column attached."""

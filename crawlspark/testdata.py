@@ -134,10 +134,11 @@ def build_index(pages_full: DataFrame) -> DataFrame:
     return pages_full.groupBy("page_no").agg(F.max("commit_ts").alias("page_ts"))
 
 
-def build_seeds(pages_full: DataFrame, n_seeds: int = 16) -> DataFrame:
-    """Seed list: every 7th page url (skipping /private/ ids), priority 0."""
+def build_seeds(pages_full: DataFrame, n_seeds: int = 16, stride: int = 7) -> DataFrame:
+    """Seed list: every ``stride``-th page url (skipping /private/ ids),
+    priority 0. Benchmarks use stride=2 for production-sized frontiers."""
     return (
-        pages_full.where((F.col("id") % 7 == 1) & (F.col("id") % 13 != 0))
+        pages_full.where((F.col("id") % stride == 1) & (F.col("id") % 13 != 0))
         .orderBy("id")
         .limit(n_seeds)
         .select(F.col("url"), F.lit(0).alias("priority"))
@@ -177,6 +178,7 @@ def write_corpus(
     leaves_per_commit: int = 16,
     commits_per_page: int = 4,
     n_seeds: int = 16,
+    seed_stride: int = 7,
     n_outlinks: int = 3,
     n_words_base: int = 20,
     n_words_spread: int = 41,
@@ -192,7 +194,7 @@ def write_corpus(
     for name, df in {
         "pages": pages_only(full),
         "index": build_index(full),
-        "seeds": build_seeds(full, n_seeds),
+        "seeds": build_seeds(full, n_seeds, seed_stride),
         "host_budgets": build_host_budgets(full),
         "robots": build_robots(full),
     }.items():
