@@ -44,6 +44,47 @@ def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
     return joined.where(~blocked).drop("disallow_prefixes")
 
 
+def topk_per_host_split(
+    candidates: DataFrame,
+    host_budgets: DataFrame | None,
+    default_budget: int,
+    salt: int = 8,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Politeness dequeue returning (dequeued, remainder, phase1_cache).
+
+    Same semantics as ``topk_per_host``, but the rows NOT selected are
+    produced from the same cached phase-1 relation instead of a later
+    anti-join — one fewer shuffle per epoch, and the remainder is exact:
+    phase-1 dropped rows (rank within (host, salt) beyond budget) are by
+    construction outside the per-host top-K, and phase-2 ranks the
+    pruned survivors exactly. Caller unpersists phase1_cache when done.
+    """
+    df = candidates
+    if host_budgets is not None:
+        df = df.join(F.broadcast(host_budgets), "host", "left")
+        df = df.withColumn(
+            "__budget", F.coalesce(F.col("tokens_per_epoch"), F.lit(default_budget))
+        ).drop("tokens_per_epoch")
+    else:
+        df = df.withColumn("__budget", F.lit(default_budget))
+
+    order = [F.col(c) for c in ORDER_COLS]
+    df = df.withColumn("__salt", F.pmod(F.xxhash64("url"), F.lit(salt)).cast("int"))
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+    phase1 = df.withColumn("__rn1", F.row_number().over(w1)).cache()
+
+    out_cols = [c for c in candidates.columns]
+    kept = phase1.where(F.col("__rn1") <= F.col("__budget"))
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked = kept.withColumn("__rn2", F.row_number().over(w2))
+    dequeued = ranked.where(F.col("__rn2") <= F.col("__budget")).select(*out_cols)
+    remainder = (
+        phase1.where(F.col("__rn1") > F.col("__budget")).select(*out_cols)
+        .unionByName(ranked.where(F.col("__rn2") > F.col("__budget")).select(*out_cols))
+    )
+    return dequeued, remainder, phase1
+
+
 def topk_per_host(
     candidates: DataFrame,
     host_budgets: DataFrame | None,

@@ -47,7 +47,12 @@ from crawlspark.operators.ordering import (
     cursor_filter,
     ordered_limit,
 )
-from crawlspark.operators.politeness import ORDER_COLS, apply_robots, topk_per_host
+from crawlspark.operators.politeness import (
+    ORDER_COLS,
+    apply_robots,
+    topk_per_host,
+    topk_per_host_split,
+)
 from crawlspark.plans.state import CrawlState
 
 DISCOVERY_BASE = dt.datetime(2024, 1, 1)
@@ -192,41 +197,51 @@ def web_crawl(
         ).withColumn("host", host_of(F.col("url")))
 
         # 3. robots + politeness dequeue (salted two-phase per-host top-K).
-        #    `allowed` is reused by the dequeue, the remainder anti-join,
-        #    and next_frontier — cache it once.
-        allowed = apply_robots(candidates, robots).cache()
-        dequeued = topk_per_host(allowed, host_budgets, cfg.default_budget, salt=cfg.salt)
-        if cfg.global_budget_per_epoch is not None:
+        #    The split variant yields the selected set AND the remainder
+        #    from one cached phase-1 pass — no remainder anti-join.
+        allowed = apply_robots(candidates, robots)
+        if cfg.global_budget_per_epoch is None:
+            dequeued, remaining, phase1 = topk_per_host_split(
+                allowed, host_budgets, cfg.default_budget, salt=cfg.salt
+            )
+        else:
+            phase1 = allowed.cache()
+            dequeued = topk_per_host(phase1, host_budgets, cfg.default_budget, salt=cfg.salt)
             dequeued = ordered_limit(dequeued, cfg.global_budget_per_epoch, list(ORDER_COLS))
+            remaining = None  # derived below from the final dequeued set
         if cfg.local_checkpoint:
             dequeued = dequeued.localCheckpoint(eager=True)
             n_dequeued = dequeued.count()
         else:
             dequeued = dequeued.cache()
             n_dequeued = dequeued.count()
+        if remaining is None:
+            remaining = phase1.join(dequeued.select("url"), "url", "left_anti")
         _t("dequeue count")
         if n_dequeued == 0:
             dequeued.unpersist()
-            allowed.unpersist()
+            phase1.unpersist()
             break
 
-        # 4. "fetch": inner equi-join against the pages snapshot. Small
-        #    dequeues broadcast (one pages scan, no shuffle of the 100 TB
-        #    table); large dequeues use a shuffle-hash join instead —
-        #    building a multi-hundred-MB broadcast relation is
+        # 4. "fetch": equi-join against the pages snapshot. Small dequeues
+        #    broadcast (one pages scan, no shuffle of the 100 TB table,
+        #    misses via a cheap anti-join); large dequeues use ONE
+        #    right-outer shuffle-hash join that yields hits and misses
+        #    together — building a multi-hundred-MB broadcast relation is
         #    single-threaded driver work and anti-scales. At production
         #    scale the pages table is bucketed by url hash so this join
         #    co-locates without shuffling pages.
-        if n_dequeued <= cfg.broadcast_threshold:
+        small = n_dequeued <= cfg.broadcast_threshold
+        if small:
             joined = pages.join(F.broadcast(dequeued), "url", "inner")
         else:
-            joined = pages.join(dequeued.hint("SHUFFLE_HASH"), "url", "inner")
+            joined = pages.join(dequeued.hint("SHUFFLE_HASH"), "url", "right")
         base = joined.select(
             "url", "host", "priority", "discovery_ts", "warc_ts",
             extract_page_udf(F.col("html")).alias("page"),
             "lang",
-            F.lit("ok").alias("status"),
-            F.length("html").cast("long").alias("content_bytes"),
+            F.when(F.col("html").isNull(), "missing").otherwise("ok").alias("status"),
+            F.coalesce(F.length("html").cast("long"), F.lit(0)).alias("content_bytes"),
         ).select(
             "url", "host", "priority", "discovery_ts", "warc_ts",
             F.col("page.text").alias("text"), F.col("page.links").alias("links"),
@@ -254,19 +269,22 @@ def web_crawl(
         )
         # single pages scan + single html decode; html never cached
         hits = hits.localCheckpoint(eager=False) if cfg.local_checkpoint else hits.cache()
-        misses = dequeued.join(hits.select("url"), "url", "left_anti").select(
-            "url", "host", "priority", "discovery_ts",
-            F.lit(None).cast("timestamp").alias("warc_ts"),
-            F.lit(None).cast("string").alias("text"),
-            F.lit(None).cast("string").alias("lang"),
-            F.lit("missing").alias("status"),
-            F.lit(0).cast("long").alias("content_bytes"),
-            F.lit(None).cast("long").alias("n_tokens"),
-            F.lit(None).cast("int").alias("simhash"),
-            F.lit(None).cast("long").alias("quality_micro"),
-            F.lit(None).cast("array<string>").alias("links"),
-        )
-        fetched_rows = hits.unionByName(misses)
+        if small:
+            misses = dequeued.join(hits.select("url"), "url", "left_anti").select(
+                "url", "host", "priority", "discovery_ts",
+                F.lit(None).cast("timestamp").alias("warc_ts"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit("missing").alias("status"),
+                F.lit(0).cast("long").alias("content_bytes"),
+                F.lit(None).cast("long").alias("n_tokens"),
+                F.lit(None).cast("int").alias("simhash"),
+                F.lit(None).cast("long").alias("quality_micro"),
+                F.lit(None).cast("array<string>").alias("links"),
+            )
+            fetched_rows = hits.unionByName(misses)
+        else:
+            fetched_rows = hits  # right-outer join already carries misses
 
         # 5. discover outlinks → next frontier (priority decays by depth).
         #    next = dedupe(remaining ∪ links) ∖ dequeued, where dedupe
@@ -286,7 +304,6 @@ def web_crawl(
             .where(is_valid_http_url(F.col("url")))
             .withColumn("discovery_ts", F.lit(_discovery_ts(epoch + 1)))
         )
-        remaining = allowed.join(dequeued.select("url"), "url", "left_anti")
         next_frontier = (
             remaining.select("url", "priority", "discovery_ts")
             .unionByName(links)
@@ -334,7 +351,7 @@ def web_crawl(
 
         dequeued.unpersist()
         hits.unpersist()
-        allowed.unpersist()
+        phase1.unpersist()
     return stats_out
 
 

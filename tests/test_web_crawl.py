@@ -129,6 +129,29 @@ def test_bloom_does_not_change_visited_set(spark, tmp_path):
     assert traces[True] == traces[False]
 
 
+def test_fetch_join_strategies_agree(spark, tmp_path):
+    """The broadcast-inner and right-outer shuffle fetch paths must
+    produce identical traces (broadcast_threshold=0 forces the latter)."""
+    from crawlspark.testdata import write_corpus
+
+    d = str(tmp_path / "c")
+    paths = write_corpus(spark, d, n_pages=120, n_hosts=6)
+    pages = spark.read.parquet(paths["pages"])
+    seeds = spark.read.parquet(paths["seeds"])
+    traces = {}
+    for thr in (100_000, 0):
+        sd = str(tmp_path / f"s{thr}")
+        web_crawl(
+            spark, pages, sd, seeds,
+            config=CrawlConfig(default_budget=6, max_epochs=15, broadcast_threshold=thr),
+        )
+        traces[thr] = [
+            (r["epoch"], r["url"], r["status"], r["text"])
+            for r in CrawlState(sd).fetched.read(spark).orderBy("epoch", "url").collect()
+        ]
+    assert traces[100_000] == traces[0]
+
+
 def test_global_budget_caps_epoch(spark, tmp_path):
     from crawlspark.testdata import write_corpus
 
