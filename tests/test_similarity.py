@@ -1,0 +1,91 @@
+"""Similarity search: brute-force correctness vs numpy, LSH consistency
+and recall, embedding near-dup pairs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from crawlspark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    embedding_near_dups,
+    hyperplane_bucket,
+    lsh_cosine_topk,
+)
+
+
+def _vectors(n=80, dim=16, seed=7):
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n // 4, dim)
+    # clusters of near-duplicates → guaranteed high-cosine pairs
+    vecs = np.concatenate([base + rng.randn(n // 4, dim) * 0.05 for _ in range(4)])
+    return vecs.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    vecs = _vectors()
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows), vecs
+
+
+def test_cosine_matches_numpy(spark, emb):
+    df, vecs = emb
+    got = (
+        df.alias("a").join(df.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .where((F.col("a.vec_id") == 0) & (F.col("b.vec_id") <= 5))
+        .select(
+            F.col("b.vec_id").alias("j"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+        .collect()
+    )
+    for r in got:
+        a, b = vecs[0].astype(np.float64), vecs[r["j"]].astype(np.float64)
+        exp = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["c"] - exp) < 1e-9
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    df, vecs = emb
+    got = cosine_topk(df.where("vec_id < 3"), df, k=4).collect()
+    v = vecs.astype(np.float64)
+    sims = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for q in range(3):
+        order = [
+            int(j) for j in sorted(
+                (j for j in range(len(v)) if j != q),
+                key=lambda j: (-round(sims[q, j], 6), j),
+            )
+        ][:4]
+        mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == q]
+        assert mine == order, f"query {q}"
+
+
+def test_lsh_topk_is_consistent_and_recalls_near_dups(spark, emb):
+    df, vecs = emb
+    exact = cosine_topk(df.where("vec_id < 8"), df, k=1).collect()
+    approx = lsh_cosine_topk(df.where("vec_id < 8"), df, k=1, n_planes=4).collect()
+    # the nearest neighbor of a clustered vector is its near-duplicate
+    # (cos ~0.99+): sign-projection buckets must keep most of them
+    exact_nn = {r["query_id"]: r["neighbor_id"] for r in exact}
+    approx_nn = {r["query_id"]: r["neighbor_id"] for r in approx}
+    hits = sum(1 for q, n in exact_nn.items() if approx_nn.get(q) == n)
+    assert hits >= len(exact_nn) * 0.5, f"LSH recall too low: {hits}/{len(exact_nn)}"
+    # internal consistency: every approx neighbor shares the query bucket
+    b = df.select("vec_id", hyperplane_bucket(F.col("embedding"), 4).alias("bk")).collect()
+    bucket = {r["vec_id"]: r["bk"] for r in b}
+    for r in approx:
+        assert bucket[r["query_id"]] == bucket[r["neighbor_id"]]
+
+
+def test_embedding_near_dups_finds_planted_pairs(spark, emb):
+    df, vecs = emb
+    pairs = embedding_near_dups(df, threshold=0.95, n_planes=4).collect()
+    assert len(pairs) > 0
+    v = vecs.astype(np.float64)
+    for r in pairs:
+        a, b = v[r["id_a"]], v[r["id_b"]]
+        sim = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert sim >= 0.95 - 1e-6

@@ -1,0 +1,51 @@
+"""Property tests (hypothesis): Spark text operators agree with plain
+Python on arbitrary word sequences, and dedup primitives behave."""
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from crawlspark.operators.dedup import word_shingles
+from crawlspark.operators.textops import fingerprint, token_count
+
+WORD = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+TEXTS = st.lists(WORD, min_size=1, max_size=30).map(" ".join)
+
+PROP_SETTINGS = settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=st.lists(TEXTS, min_size=1, max_size=6))
+@PROP_SETTINGS
+def test_token_count_matches_python(spark, texts):
+    df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(texts)])
+    got = {r["i"]: r["n"] for r in df.select("i", token_count("text").alias("n")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(t.split(" ")), repr(t)
+
+
+@given(texts=st.lists(TEXTS, min_size=1, max_size=6))
+@PROP_SETTINGS
+def test_fingerprint_is_md5_of_lower(spark, texts):
+    df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(texts)])
+    got = {r["i"]: r["fp"] for r in df.select("i", fingerprint("text").alias("fp")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == hashlib.md5(t.lower().encode()).hexdigest()
+
+
+@given(text=TEXTS, k=st.integers(min_value=2, max_value=4))
+@PROP_SETTINGS
+def test_word_shingles_match_python(spark, text, k):
+    df = spark.createDataFrame([Row(text=text)])
+    got = df.select(word_shingles("text", k).alias("sh")).first()["sh"]
+    words = text.split(" ")
+    exp = (
+        [text] if len(words) < k
+        else [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    )
+    assert list(got) == exp
