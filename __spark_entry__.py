@@ -25,7 +25,11 @@ TPC-H-ish pricing_summary and region_revenue_join.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # crawlspark importable from any cwd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
