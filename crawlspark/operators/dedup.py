@@ -89,10 +89,23 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                      num_hashes: int = 8, band_size: int = 2, k: int = 3) -> DataFrame:
+                      num_hashes: int = 8, band_size: int = 2, k: int = 3,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band. Output
-    (id_a, id_b) with id_a < id_b, distinct."""
+    (id_a, id_b) with id_a < id_b, distinct.
+
+    ``max_bucket_size`` is the web-scale guardrail: a degenerate band
+    key (boilerplate text shared by millions of docs) turns the
+    self-join quadratic. Buckets above the cap are dropped — their
+    members are near-identical boilerplate better handled by exact
+    dedup on the fingerprint; this is the standard cap-and-spill policy
+    for LSH at corpus scale. None (default) keeps exact semantics."""
     bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, k)
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("__n"))
+        bands = (
+            bands.join(sizes.where(F.col("__n") <= max_bucket_size), ["band_idx", "band_key"], "left_semi")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band_idx", "band_key"])
