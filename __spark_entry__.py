@@ -248,7 +248,7 @@ _register(
     "count_by_day_type",
     _q_count_by_day_type,
     f"""SELECT strftime(date_trunc('day', ts), '{DAY_FMT_DUCK}') AS day,
-               {', '.join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in EVENT_TYPES)},
+               {', '.join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in EVENT_TYPES)},
                count(*) AS total
         FROM events GROUP BY 1""",
 )
@@ -282,7 +282,7 @@ _register(
                        count(*) AS value, sum(CAST(value AS DECIMAL(18,2))) AS v
                 FROM events WHERE ts > TIMESTAMP '{CURSOR_LO}' GROUP BY 1),
          u AS (SELECT * FROM lo UNION ALL SELECT * FROM hi)
-        SELECT day, sum(value) AS value, CAST(sum(v) AS DOUBLE) AS value_sum
+        SELECT day, CAST(sum(value) AS BIGINT) AS value, CAST(sum(v) AS DOUBLE) AS value_sum
         FROM u GROUP BY day""",
 )
 
@@ -447,8 +447,8 @@ _register(
                               THEN 1 ELSE 0 END AS new_sess
                   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          s AS (SELECT user_id,
-                      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                          ROWS UNBOUNDED PRECEDING) AS session_id
+                      CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                FROM g)
        SELECT user_id, session_id, count(*) AS n_events
        FROM s GROUP BY user_id, session_id""",

@@ -41,6 +41,29 @@ def _rowset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
 
 
+def _kind(t: str) -> str:
+    """Coarse type class for the cross-engine dtype check. The driver's
+    hash compare is dtype-aware (a DuckDB HUGEINT sum vs a Spark BIGINT
+    hashes differently even when values match), so the local gate must
+    compare type kinds too, not just stringified values."""
+    t = t.lower()
+    if "int" in t and "interval" not in t:
+        return "int128" if "hugeint" in t or "decimal128" in t else "int"
+    if any(k in t for k in ("float", "double", "real")):
+        return "float"
+    if "decimal" in t or "numeric" in t:
+        return "decimal"
+    if "timestamp" in t:
+        return "timestamp"
+    if "date" in t:
+        return "date"
+    if "bool" in t:
+        return "bool"
+    if any(k in t for k in ("string", "varchar", "char", "text")):
+        return "string"
+    return t
+
+
 ORACLED = sorted(entrymod.oracle_sql().keys())
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLED))
 
@@ -53,9 +76,20 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 
     rel = duck.sql(entrymod.oracle_sql()[name])
     duck_cols = [c for c in rel.columns]
+    duck_types = {c: _kind(str(t)) for c, t in zip(rel.columns, rel.types)}
     duck_rows = rel.fetchall()
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
+    spark_types = {f.name: _kind(f.dataType.simpleString()) for f in sdf.schema.fields}
+    mismatched = {
+        c: (spark_types[c], duck_types[c])
+        for c in spark_cols
+        if spark_types[c] != duck_types[c]
+        # arrays/structs only need to agree structurally, values are compared below
+        and not duck_types[c].startswith(("list", "struct"))
+        and not spark_types[c].startswith(("array", "struct"))
+    }
+    assert not mismatched, f"{name}: column type kinds differ (spark, duck): {mismatched}"
     assert len(spark_rows) == len(duck_rows), f"{name}: row counts differ"
     got = _rowset(spark_cols, [[r[c] for c in spark_cols] for r in spark_rows])
     exp = _rowset(duck_cols, duck_rows)
