@@ -379,10 +379,13 @@ def _q_frontier_dequeue(spark, sf_dir):
     fr = ev.select("user_id", "event_id", "ts", pr.alias("priority"))
     w = Window.partitionBy("user_id").orderBy("priority", "ts", "event_id")
     deq = fr.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
-    wg = Window.orderBy("priority", "ts", "event_id")
+    # global budget: TakeOrderedAndProject (per-partition heaps + driver
+    # merge — the scale path), then rank the <=100 survivors in one tiny
+    # task. Never a global window over the full dequeued set.
+    top = deq.orderBy("priority", "ts", "event_id").limit(100)
+    wg = Window.partitionBy(F.lit(1)).orderBy("priority", "ts", "event_id")
     return (
-        deq.withColumn("grank", F.row_number().over(wg))
-        .where(F.col("grank") <= 100)
+        top.withColumn("grank", F.row_number().over(wg))
         .select("grank", "user_id", "event_id", "priority")
     )
 
@@ -583,24 +586,63 @@ _register(
 )
 
 
+_MH_CAP = 20
+
+
+def _q_dedup_minhash_lsh_capped(spark, sf_dir):
+    """The web-scale LSH guardrail wired in: buckets above
+    ``max_bucket_size`` (degenerate boilerplate band keys whose self-join
+    would go quadratic at corpus scale) are dropped; their members belong
+    to exact dedup. Cap semantics mirrored exactly by the oracle."""
+    from crawlspark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=_MH_N, band_size=_MH_BAND, k=_MH_K,
+        max_bucket_size=_MH_CAP,
+    )
+
+
+_register(
+    "dedup_minhash_lsh_capped",
+    _q_dedup_minhash_lsh_capped,
+    f"""WITH sh AS (SELECT doc_id, {_duck_shingles()} AS sh FROM documents),
+            sigs AS (SELECT doc_id, {_mh_sig_cols} FROM sh),
+            bands AS ({_mh_band_rows}),
+            keep AS (SELECT band_idx, band_key FROM bands
+                     GROUP BY band_idx, band_key HAVING count(*) <= {_MH_CAP}),
+            kept AS (SELECT bands.* FROM bands JOIN keep USING (band_idx, band_key))
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b USING (band_idx, band_key)
+        WHERE a.doc_id < b.doc_id""",
+)
+
+
 def _q_dedup_simhash(spark, sf_dir):
-    from crawlspark.operators.textops import simhash16_agg
+    from crawlspark.operators.textops import simhash64_agg
 
-    return simhash16_agg(_t(spark, sf_dir, "documents"))
+    return simhash64_agg(_t(spark, sf_dir, "documents"))
 
 
+def _duck_nib(i: int) -> str:
+    """DuckDB expr for the value of hex nibble ``i`` of md5(t)."""
+    a = f"ascii(substr(md5(t), {i + 1}, 1))"
+    return f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+
+
+# 64-bit simhash: bit b = bit (b & 3) of nibble (b >> 2); bit 63's term
+# is -(2^63) (two's complement packing into one signed BIGINT) — matches
+# crawlspark.operators.textops.simhash64_agg exactly.
 _sim_bits = " + ".join(
     f"""(CASE WHEN list_sum(list_transform(string_split(text, ' '),
-         t -> CASE WHEN (CASE WHEN ascii(substr(md5(t), {i + 1}, 1)) >= 97
-                              THEN ascii(substr(md5(t), {i + 1}, 1)) - 87
-                              ELSE ascii(substr(md5(t), {i + 1}, 1)) - 48 END) >= 8
-                   THEN 1 ELSE -1 END)) >= 0 THEN {2 ** i} ELSE 0 END)"""
-    for i in range(16)
+         t -> CASE WHEN (({_duck_nib(b >> 2)} >> {b & 3}) & 1) = 1
+                   THEN 1 ELSE -1 END)) >= 0
+         THEN {-(2 ** 63) if b == 63 else 2 ** b} ELSE 0 END)"""
+    for b in range(64)
 )
 _register(
     "dedup_simhash",
     _q_dedup_simhash,
-    f"SELECT doc_id, CAST({_sim_bits} AS INT) AS simhash FROM documents",
+    f"SELECT doc_id, CAST({_sim_bits} AS BIGINT) AS simhash FROM documents",
 )
 
 
@@ -751,10 +793,16 @@ _register("fingerprint", _q_fingerprint, "SELECT doc_id, md5(lower(text)) AS fp 
 # ---------------------------------------------------------------------------
 
 def _q_embedding_lsh_topk(spark, sf_dir):
-    from crawlspark.operators.similarity import lsh_cosine_topk
+    """Multi-table ANN (the 10^9-vector scale path): independent plane
+    sets multiply recall; per-bucket caps bound every join task. Recall
+    >= 0.9 pinned by tests/test_similarity.py on a 10k planted corpus."""
+    from crawlspark.operators.similarity import lsh_cosine_topk_multi
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_cosine_topk(emb.where(F.col("vec_id") < 5), emb, k=5, n_planes=4)
+    return lsh_cosine_topk_multi(
+        emb.where(F.col("vec_id") < 5), emb, k=5,
+        n_planes=6, n_tables=4, max_bucket_size=10_000,
+    )
 
 
 _register("embedding_lsh_topk", _q_embedding_lsh_topk, None)
@@ -766,7 +814,18 @@ def _q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
 
 
-_register("simhash_pairs", _q_simhash_pairs, None)
+# Exact oracle: banding with n_bands = max_hamming+1 has exact recall
+# (pigeonhole) and the hamming verify is exact, so the operator's result
+# must equal the brute-force all-pairs hamming filter.
+_register(
+    "simhash_pairs",
+    _q_simhash_pairs,
+    f"""WITH sh AS (SELECT doc_id, CAST({_sim_bits} AS BIGINT) AS sh FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 6""",
+)
 
 
 def _q_multimodal_decode(spark, sf_dir):

@@ -93,7 +93,7 @@ def main() -> None:
     )
     wall = time.time() - t0
     scheduled = sum(s["urls_dequeued"] for s in stats)
-    fetched = sum(s["urls_fetched"] + s["urls_missing"] for s in stats)
+    fetched = sum(s["urls_fetched"] + s["urls_failed"] for s in stats)
     print(json.dumps({
         "cpus": args.cpus,
         "epochs": len(stats),

@@ -155,23 +155,34 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup candidates: pairs within ``max_hamming`` of the
-    16-bit fingerprint. Banding on the two bytes (any identical byte →
-    candidate, since hamming<=3 can't damage both bytes... it can — this
-    is a recall-oriented candidate stage, verified by exact hamming)."""
-    from crawlspark.operators.textops import hamming16, simhash16_agg
+                  max_hamming: int = 3,
+                  max_bucket_size: int | None = None) -> DataFrame:
+    """SimHash near-dup pairs: all pairs within ``max_hamming`` of the
+    64-bit fingerprint — EXACT, not recall-approximate: banding into
+    ``max_hamming + 1`` disjoint bit segments guarantees (pigeonhole)
+    that any qualifying pair shares an identical band, and the exact
+    hamming verify removes band-collision false positives. The candidate
+    join is an equi-join on (band_idx, band_key) — never an all-pairs
+    product. ``max_bucket_size`` caps degenerate bands (boilerplate
+    corpora) like the MinHash-LSH guardrail; None keeps exact recall."""
+    from crawlspark.operators.textops import hamming64, simhash64_agg, simhash_band_keys
 
-    sh = df.transform(lambda d: simhash16_agg(d, id_col, text_col)).withColumnRenamed("simhash", "sh")
+    n_bands = max_hamming + 1
+    if n_bands > 64:
+        raise ValueError("max_hamming must be < 64")
+    sh = df.transform(lambda d: simhash64_agg(d, id_col, text_col)).withColumnRenamed("simhash", "sh")
+    keys = simhash_band_keys(F.col("sh"), n_bands)
     bands = sh.select(
         id_col, "sh",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), (F.col("sh") % 256).cast("int").alias("key")),
-                F.struct(F.lit(1).alias("band"), F.shiftright("sh", 8).cast("int").alias("key")),
-            )
-        ).alias("b"),
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("band"), keys[k].alias("key")) for k in range(n_bands)
+        ])).alias("b"),
     ).select(id_col, "sh", "b.band", "b.key")
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "key").agg(F.count("*").alias("__n"))
+        bands = bands.join(
+            sizes.where(F.col("__n") <= max_bucket_size), ["band", "key"], "left_semi"
+        )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["band", "key"])
@@ -183,7 +194,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         .distinct()
     )
     return (
-        cand.withColumn("hamming", hamming16(F.col("sh_a"), F.col("sh_b")))
+        cand.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")).cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -72,7 +72,10 @@ def commit_budget_cutoff(df: DataFrame, remaining: int, ts_col: str = "commit_ts
     scale rank the distinct commit set (tiny) and semi-join it back."""
     commits = (
         df.select(ts_col).distinct()
-        .withColumn("__rank", F.dense_rank().over(Window.orderBy(ts_col)))
+        # constant partition key: the commit set is tiny by design, and a
+        # defined partition spec keeps WindowExec off the all-data-to-one-
+        # partition warning path
+        .withColumn("__rank", F.dense_rank().over(Window.partitionBy(F.lit(1)).orderBy(ts_col)))
         .where(F.col("__rank") <= remaining)
         .drop("__rank")
     )

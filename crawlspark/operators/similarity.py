@@ -68,12 +68,13 @@ def _plane_weight(plane: int, dim_idx: Column) -> Column:
     return (h - 5_000) / 5_000.0
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8) -> Column:
-    """Sign-random-projection bucket id (0 .. 2^n_planes-1)."""
+def hyperplane_bucket(vec: Column, n_planes: int = 8, table: int = 0) -> Column:
+    """Sign-random-projection bucket id (0 .. 2^n_planes-1). ``table``
+    selects an independent plane set (for multi-table LSH)."""
     def weighted(p: int):
         # two-arg lambda factory (a default arg would add a third param,
         # which zip_with rejects)
-        return lambda x, i: x.cast("double") * _plane_weight(p, i)
+        return lambda x, i: x.cast("double") * _plane_weight(table * 1009 + p, i)
 
     bits = []
     for p in range(n_planes):
@@ -112,6 +113,75 @@ def lsh_cosine_topk(
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _bucket_keys(vec: Column, n_planes: int, n_tables: int) -> Column:
+    """Array of (table, bucket) structs — one LSH key per table."""
+    return F.array(*[
+        F.struct(
+            F.lit(t).alias("table"),
+            hyperplane_bucket(vec, n_planes, table=t).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+
+
+def lsh_cosine_topk_multi(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Multi-table ANN — the 10^9-vector scale path.
+
+    A single hash table of 2^n_planes buckets fails at scale twice over:
+    recall drops for any fixed n_planes (one unlucky sign flip loses the
+    neighbor), and hot buckets make the within-bucket join quadratic.
+    This variant fixes both:
+
+      * ``n_tables`` INDEPENDENT plane sets — a true neighbor is missed
+        only if it disagrees with the query in EVERY table, so recall is
+        1-(1-p^n_planes)^n_tables (≈1 for near-dups at these defaults);
+      * ``max_bucket_size`` drops corpus rows from degenerate buckets
+        (hot buckets contain mutually-similar boilerplate that exact
+        dedup handles better), bounding every join task;
+      * candidate (query, neighbor) pairs are DEDUPED across tables
+        BEFORE the exact cosine re-rank, so the expensive array math
+        runs once per candidate, not once per table.
+
+    The corpus side is exploded n_tables-fold but only as (id, key) +
+    one carried vector column; all joins are equi-joins."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(_bucket_keys(F.col(vec_col), n_planes, n_tables)).alias("kb"),
+    ).select("query_id", "qv", F.col("kb.table").alias("table"), F.col("kb.bucket").alias("bucket"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.explode(_bucket_keys(F.col(vec_col), n_planes, n_tables)).alias("kb"),
+    ).select("neighbor_id", "cv", F.col("kb.table").alias("table"), F.col("kb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        sizes = c.groupBy("table", "bucket").agg(F.count("*").alias("__n"))
+        c = c.join(sizes.where(F.col("__n") <= max_bucket_size), ["table", "bucket"], "left_semi")
+    cand = (
+        c.join(F.broadcast(q.select("query_id", "table", "bucket")), ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")      # dedupe across tables
+        .agg(F.first("cv").alias("cv"))
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -126,59 +126,83 @@ def _nibble_val(ch: Column) -> Column:
     return F.when(a >= 97, a - 87).otherwise(a - 48)
 
 
-def simhash16(text: Column | str) -> Column:
-    """16-bit SimHash over whitespace tokens. Bit i of a token's hash is
-    the top bit of hex nibble i of md5(token); per-bit weights sum +1/-1
-    over tokens; fingerprint bit = (weight >= 0). Small enough to stay
-    dialect-portable, same structure as a 64-bit production simhash."""
-    w = words_of(text)
-
-    def bit_sign(i: int):
-        # single-arg lambda factory: a default-arg closure would make
-        # Spark bind the second param to the array index instead
-        return lambda t: F.when(
-            _nibble_val(F.substring(F.md5(t), i + 1, 1)) >= 8, 1
-        ).otherwise(-1)
-
-    bits = []
-    for i in range(16):
-        contrib = F.aggregate(
-            F.transform(w, bit_sign(i)),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(contrib >= 0, F.lit(2 ** i)).otherwise(F.lit(0)))
-    return sum(bits[1:], bits[0]).cast("int")
+# 64-bit SimHash bit mapping: bit b of a token's hash = bit (b & 3) of
+# hex nibble (b >> 2) of md5(token) — the first 16 hex chars carry 64
+# bits. The fingerprint packs into ONE signed 64-bit integer; bit 63's
+# term is -(2^63) (two's complement), which keeps the composition a
+# plain SUM that is exact in both Spark (bigint) and DuckDB (cast).
+_POW64 = [2 ** b for b in range(63)] + [-(2 ** 63)]
 
 
-def simhash16_agg(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Column:
-    """DataFrame-level simhash: explode tokens, hash each token ONCE
-    (the column variant computes md5 16× per token), then 16 conditional
-    sums in one map-side-partial aggregate. Same result as
-    ``simhash16``; the scale-right shape."""
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens, as a single column
+    expression (for inline per-row analysis). One md5 + one 64-wide
+    zip_with accumulate per token — the token hash is computed once, not
+    per bit. For corpus-level signatures prefer ``simhash64_agg`` (the
+    explode+aggregate shape scales better than HOFs; ROUND_NOTES.md)."""
+    toks = words_of(text)
+    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
+    pow2_nib = F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))
+
+    def tok_weights(t):
+        chars = F.split(F.md5(t), "")
+
+        def w_of(b):
+            nib = _nibble_val(F.element_at(chars, (F.shiftright(b, 2) + 1).cast("int")))
+            bit = F.floor(nib / F.element_at(pow2_nib, F.pmod(b, 4).cast("int") + 1)) % 2
+            return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+
+        return F.transform(F.sequence(F.lit(0), F.lit(63)), w_of)
+
+    acc = F.aggregate(toks, zero64, lambda a, t: F.zip_with(a, tok_weights(t), lambda x, y: x + y))
+    pow64 = F.array(*[F.lit(v).cast("long") for v in _POW64])
+    terms = F.zip_with(acc, pow64, lambda w, p: F.when(w >= 0, p).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def simhash64_agg(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """DataFrame-level 64-bit simhash: explode tokens, hash each token
+    ONCE, then 64 conditional sums in one map-side-partial aggregate.
+    Same result as ``simhash64``; the scale-right shape (one shuffle of
+    (id, 64 ints), never the texts)."""
     w = (
         df.select(F.col(id_col), F.explode(words_of(F.col(text_col))).alias("t"))
         .withColumn("h", F.md5("t"))
     )
+    nib = [_nibble_val(F.substring("h", i + 1, 1)) for i in range(16)]
     aggs = [
         F.sum(
-            F.when(_nibble_val(F.substring("h", i + 1, 1)) >= 8, 1).otherwise(-1)
-        ).alias(f"w{i}")
-        for i in range(16)
+            F.when(F.shiftright(nib[b >> 2], b & 3) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"w{b}")
+        for b in range(64)
     ]
     g = w.groupBy(id_col).agg(*aggs)
-    bits = [F.when(F.col(f"w{i}") >= 0, F.lit(2 ** i)).otherwise(F.lit(0)) for i in range(16)]
-    return g.select(F.col(id_col), sum(bits[1:], bits[0]).cast("int").alias("simhash"))
+    bits = [
+        F.when(F.col(f"w{b}") >= 0, F.lit(_POW64[b]).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    return g.select(F.col(id_col), sum(bits[1:], bits[0]).cast("long").alias("simhash"))
 
 
-def hamming16(a: Column, b: Column) -> Column:
-    """Popcount of a XOR b for 16-bit ints, via nibble lookup."""
-    x = a.bitwiseXOR(b)
-    nib_pop = F.array(*[F.lit(bin(i).count("1")) for i in range(16)])
-    return sum(
-        (F.element_at(nib_pop, (F.shiftright(x, s) % 16).cast("int") + 1) for s in (4, 8, 12)),
-        F.element_at(nib_pop, (x % 16).cast("int") + 1),
-    )
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of a XOR b for 64-bit fingerprints (JVM bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_band_keys(sh: Column, n_bands: int) -> list[Column]:
+    """Split a 64-bit fingerprint into ``n_bands`` disjoint bit segments
+    (unsigned shifts — the sign bit is data). Pigeonhole: two
+    fingerprints within hamming distance n_bands-1 share at least one
+    identical band, so banding with n_bands = max_hamming+1 has EXACT
+    recall for the candidate join."""
+    width = 64 // n_bands
+    keys = []
+    for k in range(n_bands):
+        shifted = F.shiftrightunsigned(sh, k * width)
+        if k < n_bands - 1:
+            shifted = shifted.bitwiseAND(F.lit((1 << width) - 1))
+        keys.append(shifted)
+    return keys
 
 
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -191,5 +215,5 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         quality_score(text_col).alias("quality"),
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fp"),
-        simhash16(text_col).alias("simhash"),
+        simhash64(text_col).alias("simhash"),
     )

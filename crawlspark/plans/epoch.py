@@ -4,43 +4,69 @@ Both are *batch-incremental*: each epoch is one DataFrame batch job whose
 outputs commit atomically (SURVEY.md §1.3 — the reference processes
 "everything newer than the cursor" then exits, Downloader.cs:37-80).
 
-``web_crawl``   — the north_star engine: seeds → bloom seen-filter →
-                  robots → salted per-host top-K dequeue → fetch (join
-                  against the pages snapshot) → vectorized text extract →
-                  link discovery → next-epoch frontier. Visit order is a
-                  property of the data: (epoch, priority, discovery_ts,
-                  url).
+``web_crawl``   — the north_star engine: frontier → robots → salted
+                  per-host top-K dequeue → fetch-with-retry (join against
+                  the pages snapshot, Downloader.cs:297-318 retry bound)
+                  → vectorized text extract → link discovery → next-epoch
+                  frontier. Visit order is a property of the data:
+                  (epoch, priority, discovery_ts, url).
 
 ``catalog_crawl`` — reference-parity incremental catalog walk with
                   MaxPages / MaxCommits budget semantics pinned by the
                   reference's integration tests
                   (DownloadCommandHandlerIntegrationTests.cs:83-158).
 
-Scale notes (100 TB / 10^10-frontier):
-  * the frontier table holds only the *pending* set — each epoch reads
-    the previous epoch's frontier partition, never the full history;
-  * the seen-set check is bloom-prefiltered so only the maybe-seen
-    residue shuffles against ``fetched``;
+Scale + latency design (100 TB / 10^10-frontier; also the sandbox's
+scaling-efficiency lever — constant per-job driver latency dominates
+small runs, so the loop runs a FIXED, small number of actions per epoch):
+
+  * **Frontier invariant**: the committed frontier never contains a
+    seen (finally-fetched) url, so the dequeue path needs NO seen-set
+    work at all; the seen filter runs once, on newly-discovered links,
+    inside the frontier-build job.
+  * **3 Spark actions per epoch**: (A) fetched write, (B) frontier
+    write, (C) seen-bloom delta fold. Everything else the driver needs
+    (row counts, per-partition lineage, cursor) comes from one
+    Observation attached to (A)'s plan and from parquet FOOTER metadata
+    of the written files — O(#files) driver work, no data-page reads,
+    no standalone count() actions.
+  * the seen-set bloom is folded forward incrementally (O(epoch delta)),
+    shard-partitioned so the driver collects at most one filter's worth
+    of bytes (operators/bloom.py).
   * the per-host window is the salted two-phase top-K (politeness.py) —
     no hot-host task;
-  * the fetch is an equi-join on ``url`` — AQE picks broadcast when the
-    dequeued side is small and splits skewed partitions otherwise;
-  * everything driver-side is O(#epochs), never O(#urls).
+  * the fetch is an equi-join on ``url`` — small dequeues broadcast (the
+    100 TB pages side is never shuffled), large ones use one right-outer
+    shuffle-hash join; at production scale the pages table is bucketed
+    by url hash so this join co-locates without shuffling pages.
+
+Fetch retry (O1, Downloader.cs:297-318 — 3 attempts per url): a url
+whose fetch misses is re-queued to the next epoch's frontier with
+``attempts+1`` until ``max_attempts``, then recorded with status
+'failed'. The reference retries in-process within one download; the
+batch analog retries across epochs — same bound, same permanence of the
+final failure. The ``fetched`` table holds only FINAL outcomes ('ok' /
+'failed'), which keeps it duplicate-free and keeps the frontier
+invariant exact. The pages snapshot may carry an optional
+``available_from_attempt`` column (attempt number, 1-based, at which the
+fetch starts succeeding) to model deterministic transient failures;
+absent means available on the first attempt.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import glob as _glob
 import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawlspark.functions.extract import extract_page_udf, extract_text_udf
 from crawlspark.functions.urls import host_of, is_valid_http_url
-from crawlspark.operators.bloom import build_seen_shards, seen_filter
+from crawlspark.operators.bloom import IncrementalSeen, seen_filter
 from crawlspark.operators.ordering import (
     EPOCH_MIN,
     commit_budget_cutoff,
@@ -63,29 +89,53 @@ def _discovery_ts(epoch: int) -> dt.datetime:
     return DISCOVERY_BASE + dt.timedelta(minutes=epoch)
 
 
-def _lineage_from_files(epoch_dir: str) -> list[tuple]:
-    """Per-partition lineage from the written epoch's parquet files:
-    (partition_id, cursor_ts, urls_fetched, urls_missing, bytes) per
-    file. Driver-side pyarrow over three narrow columns — the written
-    files are the authoritative record, so lineage can never disagree
-    with the data."""
-    import glob as _glob
+def _utc_naive(v: dt.datetime | None) -> dt.datetime | None:
+    if v is not None and v.tzinfo is not None:
+        v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return v
 
+
+def _dir_files(epoch_dir: str) -> list[str]:
+    return sorted(_glob.glob(os.path.join(epoch_dir, "*.parquet")))
+
+
+def _dir_row_count(epoch_dir: str) -> tuple[int, int]:
+    """(row count, file count) of a written epoch dir from parquet FOOTER
+    metadata only — free driver-side reads, no Spark action."""
+    import pyarrow.parquet as pq
+
+    files = _dir_files(epoch_dir)
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in files), len(files)
+
+
+def _lineage_from_footers(epoch_dir: str) -> list[tuple]:
+    """Per-partition lineage from parquet FOOTER metadata only (replaces
+    a per-row driver-side read — O(#files), no data pages): one file ≙
+    one partition; ok rows have non-null ``text`` and failed rows never
+    do, so row-group null counts split the outcome; ``warc_ts`` min/max
+    statistics give the partition cursor (written as TIMESTAMP_MICROS so
+    footers carry stats — session.py); bytes is the partition's parquet
+    size on disk. The exact global sum of fetched content_bytes lives in
+    the epoch stats, measured by the write job's Observation."""
     import pyarrow.parquet as pq
 
     rows: list[tuple] = []
-    for pid, path in enumerate(sorted(_glob.glob(os.path.join(epoch_dir, "*.parquet")))):
-        t = pq.read_table(path, columns=["warc_ts", "status", "content_bytes"])
-        status = t.column("status").to_pylist()
-        ok = sum(1 for s in status if s == "ok")
-        warc = [v for v in t.column("warc_ts").to_pylist() if v is not None]
-        rows.append((
-            pid,
-            max(warc) if warc else None,
-            ok,
-            len(status) - ok,
-            int(sum(v or 0 for v in t.column("content_bytes").to_pylist())),
-        ))
+    for pid, path in enumerate(_dir_files(epoch_dir)):
+        md = pq.ParquetFile(path).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        n = md.num_rows
+        failed = 0
+        max_ts: dt.datetime | None = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            st_text = g.column(names["text"]).statistics
+            failed += st_text.null_count if st_text is not None else 0
+            st_warc = g.column(names["warc_ts"]).statistics
+            if st_warc is not None and st_warc.has_min_max:
+                v = _utc_naive(st_warc.max)
+                if max_ts is None or v > max_ts:
+                    max_ts = v
+        rows.append((pid, max_ts, n - failed, failed, os.path.getsize(path)))
     return rows
 
 
@@ -99,15 +149,17 @@ class CrawlConfig:
     max_epochs: int = 100
     global_budget_per_epoch: int | None = None
     max_total_urls: int | None = None
+    max_attempts: int = 3            # fetch retries per url (Downloader.cs:299)
     use_bloom: bool = True
     bloom_fpp: float = 0.01
     bloom_shards: int = 32
+    bloom_capacity: int = 1_000_000  # initial sizing; grows 4x on overflow
     analyze: bool = False            # inline text analysis on fetch (tokens/simhash/quality)
     broadcast_threshold: int = 100_000  # dequeues larger than this use a shuffle-hash join
-    local_checkpoint: bool = False   # truncate plan lineage at dequeue/fetch: the
-    # epoch plan tree is deep, and every downstream action pays Catalyst
-    # analysis of the whole tree; checkpointing caps driver-side planning
-    # cost per epoch (use reliable checkpoints on a real cluster)
+    local_checkpoint: bool = False   # truncate plan lineage at the epoch's cached
+    # relations: the epoch plan tree is deep, and every downstream action pays
+    # Catalyst analysis of the whole tree; checkpointing caps driver-side
+    # planning cost per epoch (use reliable checkpoints on a real cluster)
 
     def validate(self) -> None:
         if self.default_budget < 1:
@@ -116,16 +168,29 @@ class CrawlConfig:
             raise ValueError("salt must be >= 1")
         if self.global_budget_per_epoch is not None and self.global_budget_per_epoch < 1:
             raise ValueError("global_budget_per_epoch must be >= 1")
+        if self.max_attempts < 1:
+            raise ValueError("max_attempts must be >= 1")
 
 
 def _normalize_seeds(seeds: DataFrame) -> DataFrame:
+    """Validate, default-fill, and dedupe the seed list (min priority
+    wins, matching the simulator's pending-merge rule)."""
     cols = seeds.columns
     out = seeds.select(
         F.col("url"),
         (F.col("priority") if "priority" in cols else F.lit(0)).cast("int").alias("priority"),
-        F.lit(_discovery_ts(0)).alias("discovery_ts"),
     )
-    return out.where(is_valid_http_url(F.col("url")))
+    return (
+        out.where(is_valid_http_url(F.col("url")))
+        .groupBy("url").agg(F.min("priority").alias("priority"))
+        .select(
+            "url",
+            host_of(F.col("url")).alias("host"),
+            "priority",
+            F.lit(_discovery_ts(0)).alias("discovery_ts"),
+            F.lit(0).alias("attempts"),
+        )
+    )
 
 
 def web_crawl(
@@ -139,13 +204,35 @@ def web_crawl(
     config: CrawlConfig | None = None,
 ) -> list[dict]:
     """Run the frontier crawl to exhaustion (or budget), resuming from
-    the last committed epoch. Returns per-epoch stats dicts."""
+    the last committed epoch. Returns per-epoch stats dicts.
+
+    Assumes ``pages`` is url-unique (a snapshot, per BASELINE.json
+    input_hint) — the fetch join is then 1:1 and the dequeue count can be
+    recovered from the fetch job itself."""
     cfg = config or CrawlConfig()
     cfg.validate()
     state = CrawlState(state_dir)
     start = state.next_epoch()
     stats_out: list[dict] = []
-    total_fetched = sum(s.get("urls_fetched", 0) for s in state.epoch_stats())
+    prior = state.epoch_stats()
+    # final outcomes only (ok + failed) — retried urls are still pending
+    total_final = sum(s.get("urls_fetched", 0) + s.get("urls_failed", 0) for s in prior)
+
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    has_avail = "available_from_attempt" in pages.columns
+    pages_cols = ["url", "warc_ts", "html", "lang"] + (
+        ["available_from_attempt"] if has_avail else []
+    )
+    pages_sel = pages.select(*pages_cols)
+
+    seen_bloom: IncrementalSeen | None = None
+    if cfg.use_bloom:
+        seen_bloom = IncrementalSeen(
+            spark, capacity=max(cfg.bloom_capacity, 2 * total_final),
+            fpp=cfg.bloom_fpp, n_shards=cfg.bloom_shards,
+        )
+        if total_final > 0:  # resume: one full-history fold, then deltas
+            seen_bloom.fold(state.seen_urls(spark), n_new=total_final)
 
     trace = os.environ.get("CRAWLSPARK_TRACE") == "1"
     tmark = [time.time()]
@@ -156,50 +243,41 @@ def web_crawl(
             print(f"    [epoch trace] {label}: {now - tmark[0]:.2f}s", flush=True)
             tmark[0] = now
 
+    seed_count: int | None = None
+
     for epoch in range(start, cfg.max_epochs):
-        if cfg.max_total_urls is not None and total_fetched >= cfg.max_total_urls:
+        if cfg.max_total_urls is not None and total_final >= cfg.max_total_urls:
             break
         tmark[0] = time.time()
 
         # 1. pending frontier: previous epoch's remainder, or the seeds.
+        #    The frontier invariant guarantees pending ∩ seen = ∅, so no
+        #    seen-set filtering happens on this path at all.
         if epoch == 0:
-            pending = _normalize_seeds(seeds)
+            if seed_count is None:
+                seed_count = seeds.count()  # one tiny metadata-only job
+            pending = _normalize_seeds(seeds).repartition(n_shuffle, "url")
+            est_dequeued = seed_count
         else:
-            pending = state.frontier.read(spark, epochs=[epoch - 1]).drop("epoch") \
-                .select("url", "priority", "discovery_ts")
-        # width-normalize: a small frontier file read yields fewer input
-        # splits than cores, starving every pre-shuffle step (bloom UDF,
-        # robots). One cheap narrow-row shuffle fixes it; skipped when the
-        # source is already wide (the at-scale case).
-        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        if pending.rdd.getNumPartitions() < max(2, n_shuffle // 2):
-            pending = pending.repartition(n_shuffle, "url")
-        seen = state.seen_urls(spark)
-        seen_count = sum(
-            s.get("urls_fetched", 0) + s.get("urls_missing", 0) for s in state.epoch_stats()
-        )
+            fdir = state.frontier._epoch_dir(epoch - 1)
+            pending_rows, pending_files = _dir_row_count(fdir)
+            if pending_rows == 0:
+                break
+            pending = state.frontier.read(spark, epochs=[epoch - 1]).drop("epoch")
+            # width-normalize: a small frontier read yields fewer input
+            # splits than cores, starving every pre-shuffle step. One
+            # cheap narrow-row shuffle fixes it; skipped when the source
+            # is already wide (the at-scale case).
+            if pending_files < max(2, n_shuffle // 2):
+                pending = pending.repartition(n_shuffle, "url")
+            est_dequeued = pending_rows
+        if cfg.global_budget_per_epoch is not None:
+            est_dequeued = min(est_dequeued, cfg.global_budget_per_epoch)
 
-        # 2. seen-set: bloom shards rebuilt once per epoch from `fetched`,
-        #    broadcast; exact anti-join backstop on the maybe-seen residue.
-        #    The same shards also pre-filter this epoch's discoveries.
-        shards_bc = (
-            build_seen_shards(
-                spark, seen, seen_count=seen_count,
-                n_shards=cfg.bloom_shards, fpp=cfg.bloom_fpp,
-            )
-            if cfg.use_bloom
-            else None
-        )
-        _t("bloom build")
-        candidates = seen_filter(
-            spark, pending, seen,
-            use_bloom=cfg.use_bloom, shards_bc=shards_bc, seen_count=seen_count,
-        ).withColumn("host", host_of(F.col("url")))
-
-        # 3. robots + politeness dequeue (salted two-phase per-host top-K).
+        # 2. robots + politeness dequeue (salted two-phase per-host top-K).
         #    The split variant yields the selected set AND the remainder
         #    from one cached phase-1 pass — no remainder anti-join.
-        allowed = apply_robots(candidates, robots)
+        allowed = apply_robots(pending, robots)
         if cfg.global_budget_per_epoch is None:
             dequeued, remaining, phase1 = topk_per_host_split(
                 allowed, host_budgets, cfg.default_budget, salt=cfg.salt
@@ -209,149 +287,194 @@ def web_crawl(
             dequeued = topk_per_host(phase1, host_budgets, cfg.default_budget, salt=cfg.salt)
             dequeued = ordered_limit(dequeued, cfg.global_budget_per_epoch, list(ORDER_COLS))
             remaining = None  # derived below from the final dequeued set
-        if cfg.local_checkpoint:
-            dequeued = dequeued.localCheckpoint(eager=True)
-            n_dequeued = dequeued.count()
-        else:
-            dequeued = dequeued.cache()
-            n_dequeued = dequeued.count()
+        dequeued = dequeued.localCheckpoint(eager=False) if cfg.local_checkpoint else dequeued.cache()
         if remaining is None:
             remaining = phase1.join(dequeued.select("url"), "url", "left_anti")
-        _t("dequeue count")
-        if n_dequeued == 0:
-            dequeued.unpersist()
-            phase1.unpersist()
-            break
 
-        # 4. "fetch": equi-join against the pages snapshot. Small dequeues
-        #    broadcast (one pages scan, no shuffle of the 100 TB table,
-        #    misses via a cheap anti-join); large dequeues use ONE
-        #    right-outer shuffle-hash join that yields hits and misses
-        #    together — building a multi-hundred-MB broadcast relation is
-        #    single-threaded driver work and anti-scales. At production
-        #    scale the pages table is bucketed by url hash so this join
-        #    co-locates without shuffling pages.
-        small = n_dequeued <= cfg.broadcast_threshold
+        # 3. "fetch": equi-join against the pages snapshot. Small dequeues
+        #    broadcast (one pages scan with all columns + one url-only
+        #    columnar scan for the misses semi-join — the 100 TB table is
+        #    never shuffled); large dequeues use ONE right-outer
+        #    shuffle-hash join that yields hits and misses together —
+        #    building a multi-hundred-MB broadcast relation is
+        #    single-threaded driver work and anti-scales.
+        small = est_dequeued <= cfg.broadcast_threshold
         if small:
-            joined = pages.join(F.broadcast(dequeued), "url", "inner")
+            found = pages_sel.join(F.broadcast(dequeued), "url", "inner")
+            found_urls = pages_sel.select("url").join(
+                F.broadcast(dequeued.select("url")), "url", "left_semi"
+            )
+            notfound = dequeued.join(found_urls, "url", "left_anti").select(
+                "url", "host", "priority", "discovery_ts", "attempts",
+                F.lit(None).cast("timestamp").alias("warc_ts"),
+                F.lit(None).cast("binary").alias("html"),
+                F.lit(None).cast("string").alias("lang"),
+                *([F.lit(None).cast("int").alias("available_from_attempt")] if has_avail else []),
+            )
+            joined = found.select(*notfound.columns).unionByName(notfound)
         else:
-            joined = pages.join(dequeued.hint("SHUFFLE_HASH"), "url", "right")
+            joined = pages_sel.join(dequeued.hint("SHUFFLE_HASH"), "url", "right")
+
+        att1 = (F.col("attempts") + 1).cast("int")
+        avail = (
+            F.coalesce(F.col("available_from_attempt"), F.lit(1)) if has_avail else F.lit(1)
+        )
+        ok = F.col("html").isNotNull() & (att1 >= avail)
+        status = (
+            F.when(ok, F.lit("ok"))
+            .when(att1 >= F.lit(cfg.max_attempts), F.lit("failed"))
+            .otherwise(F.lit("retry"))
+        )
         base = joined.select(
-            "url", "host", "priority", "discovery_ts", "warc_ts",
+            "url", "host", "priority", "discovery_ts",
+            F.when(ok, F.col("warc_ts")).alias("warc_ts"),
             extract_page_udf(F.col("html")).alias("page"),
-            "lang",
-            F.when(F.col("html").isNull(), "missing").otherwise("ok").alias("status"),
-            F.coalesce(F.length("html").cast("long"), F.lit(0)).alias("content_bytes"),
+            F.when(ok, F.col("lang")).alias("lang"),
+            status.alias("status"),
+            F.when(ok, F.length("html").cast("long")).otherwise(F.lit(0)).alias("content_bytes"),
+            att1.alias("attempts"),
+            ok.alias("__ok"),
         ).select(
             "url", "host", "priority", "discovery_ts", "warc_ts",
-            F.col("page.text").alias("text"), F.col("page.links").alias("links"),
-            "lang", "status", "content_bytes",
+            F.when(F.col("__ok"), F.col("page.text")).alias("text"),
+            F.when(F.col("__ok"), F.col("page.links")).alias("links"),
+            "lang", "status", "attempts", "content_bytes",
         )
         # analysis in a second projection so the extraction UDF column is
         # referenced (and evaluated) exactly once
         if cfg.analyze:
-            from crawlspark.operators.textops import quality_micro, simhash16, token_count
+            from crawlspark.operators.textops import quality_micro, simhash64, token_count
 
             base = base.withColumns({
                 "n_tokens": token_count(F.col("text")),
-                "simhash": simhash16(F.col("text")),
+                "simhash": simhash64(F.col("text")),
                 "quality_micro": quality_micro(F.col("text")),
             })
         else:
             base = base.withColumns({
                 "n_tokens": F.lit(None).cast("long"),
-                "simhash": F.lit(None).cast("int"),
+                "simhash": F.lit(None).cast("long"),
                 "quality_micro": F.lit(None).cast("long"),
             })
-        hits = base.select(
-            "url", "host", "priority", "discovery_ts", "warc_ts", "text", "lang",
-            "status", "content_bytes", "n_tokens", "simhash", "quality_micro", "links",
-        )
         # single pages scan + single html decode; html never cached
-        hits = hits.localCheckpoint(eager=False) if cfg.local_checkpoint else hits.cache()
-        if small:
-            misses = dequeued.join(hits.select("url"), "url", "left_anti").select(
-                "url", "host", "priority", "discovery_ts",
-                F.lit(None).cast("timestamp").alias("warc_ts"),
-                F.lit(None).cast("string").alias("text"),
-                F.lit(None).cast("string").alias("lang"),
-                F.lit("missing").alias("status"),
-                F.lit(0).cast("long").alias("content_bytes"),
-                F.lit(None).cast("long").alias("n_tokens"),
-                F.lit(None).cast("int").alias("simhash"),
-                F.lit(None).cast("long").alias("quality_micro"),
-                F.lit(None).cast("array<string>").alias("links"),
-            )
-            fetched_rows = hits.unionByName(misses)
-        else:
-            fetched_rows = hits  # right-outer join already carries misses
+        base = base.localCheckpoint(eager=False) if cfg.local_checkpoint else base.cache()
+        # ONE observation on the full dequeued-outcome relation: row
+        # counts, byte sum and cursor come out of the write job itself —
+        # no standalone count() actions (driver-latency lever). The
+        # observe node sits ABOVE the cache/checkpoint boundary and only
+        # on the branch feeding write A, so it fires exactly once.
+        obs = Observation(f"epoch_{epoch}")
+        base_obs = base.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_dequeued"),
+            F.count(F.when(F.col("status") == "ok", 1)).alias("n_ok"),
+            F.count(F.when(F.col("status") == "failed", 1)).alias("n_failed"),
+            F.sum("content_bytes").alias("bytes"),
+            F.max("warc_ts").alias("max_warc"),
+        )
 
-        # 5. discover outlinks → next frontier (priority decays by depth).
-        #    next = dedupe(remaining ∪ links) ∖ dequeued, where dedupe
-        #    keeps the min (discovery_ts, priority) entry — an existing
-        #    pending row always beats a fresh re-discovery (its
-        #    discovery_ts is older), matching the sequential-reference
-        #    semantics. Links to urls seen in EARLIER epochs may linger
-        #    in the frontier for one epoch; the seen-filter at the next
-        #    dequeue removes them, so the visited set is unaffected and
-        #    this epoch saves a whole seen-join. One shuffle (the
-        #    groupBy), one broadcast anti-join.
+        # 4. stage the fetched table: FINAL outcomes only ('ok'/'failed');
+        #    'retry' rows go back to the frontier instead (O1 retry).
+        fetched_out = base_obs.where(F.col("status") != "retry").drop("links")
+        state.fetched.write_epoch(fetched_out, epoch)          # ACTION A
+        _t("write fetched")
+        m = obs.get
+        n_dequeued = m["n_dequeued"]
+        n_ok, n_failed = m["n_ok"], m["n_failed"]
+        n_final = n_ok + n_failed
+        n_retry = n_dequeued - n_final
+        if n_dequeued == 0:
+            # nothing was pending beyond robots-blocked leftovers: the
+            # crawl is complete. The uncommitted epoch dir is invisible
+            # to readers; remove it for tidiness.
+            import shutil
+            shutil.rmtree(state.fetched._epoch_dir(epoch), ignore_errors=True)
+            dequeued.unpersist()
+            phase1.unpersist()
+            base.unpersist()
+            break
+
+        # 5. discover outlinks → next frontier.
+        #      next = dedupe(remaining ∪ retries ∪ (links ∖ seen)) ∖ finals
+        #    where dedupe keeps the min (discovery_ts, priority) entry —
+        #    an existing pending/retrying row always beats a fresh
+        #    re-discovery (its discovery_ts is older), matching the
+        #    sequential-reference semantics. Only the LINKS see the
+        #    seen-set (bloom prefilter + exact anti-join backstop on the
+        #    maybe-seen residue); remaining and retries are unseen by the
+        #    frontier invariant. finals excludes this epoch's outcomes.
         links = (
-            hits.select(
+            base.where(F.col("status") == "ok")
+            .select(
                 F.explode("links").alias("url"),
                 (F.col("priority") + 1).alias("priority"),
             )
             .where(is_valid_http_url(F.col("url")))
             .withColumn("discovery_ts", F.lit(_discovery_ts(epoch + 1)))
+            .withColumn("attempts", F.lit(0))
         )
+        new_links = seen_filter(
+            spark, links, state.seen_urls(spark),
+            use_bloom=cfg.use_bloom,
+            shards_bc=seen_bloom.bc if seen_bloom is not None else None,
+            seen_count=seen_bloom.count if seen_bloom is not None else None,
+        ).withColumn("host", host_of(F.col("url")))
+        frontier_cols = ["url", "host", "priority", "discovery_ts", "attempts"]
         next_frontier = (
-            remaining.select("url", "priority", "discovery_ts")
-            .unionByName(links)
+            remaining.select(*frontier_cols)
+            .unionByName(base.where(F.col("status") == "retry").select(*frontier_cols))
+            .unionByName(new_links.select(*frontier_cols))
             .groupBy("url")
-            .agg(F.min(F.struct("discovery_ts", "priority")).alias("s"))
+            .agg(F.min(F.struct("discovery_ts", "priority", "attempts", "host")).alias("s"))
             .select(
                 "url",
+                F.col("s.host").alias("host"),
                 F.col("s.priority").alias("priority"),
                 F.col("s.discovery_ts").alias("discovery_ts"),
+                F.col("s.attempts").alias("attempts"),
             )
-            .join(dequeued.select("url"), "url", "left_anti")
-            .withColumn("host", host_of(F.col("url")))
-            .select("url", "host", "priority", "discovery_ts")
+            .join(base.where(F.col("status") != "retry").select("url"), "url", "left_anti")
         )
-
-        # 6. per-partition lineage + fetch metrics (north_star checkpoint).
-        #    Derived from the just-written parquet files driver-side
-        #    (pyarrow over 3 narrow columns, one file ≙ one partition) —
-        #    no extra Spark action; the write itself is the only pass.
-        fetched_out = fetched_rows.drop("links")
-
-        # 7. stage all three tables, then ONE atomic commit. Lineage rows
-        #    are tiny and derived/written on the driver — no job.
-        state.fetched.write_epoch(fetched_out, epoch)
-        _t("write fetched")
-        state.frontier.write_epoch(next_frontier, epoch)
+        state.frontier.write_epoch(next_frontier, epoch)       # ACTION B
         _t("write frontier")
-        lineage_rows = _lineage_from_files(state.fetched._epoch_dir(epoch))
-        lineage_tuples = [("download", *r) for r in lineage_rows]
-        state.lineage.write_epoch_rows(lineage_tuples, epoch)
-        _t("write lineage")
+        n_frontier, _nf = _dir_row_count(state.frontier._epoch_dir(epoch))
 
-        max_warc = max((r[1] for r in lineage_rows if r[1]), default=EPOCH_MIN)
+        # 6. per-partition lineage + fetch metrics (north_star checkpoint)
+        #    from the written files' FOOTERS — no extra action, O(#files).
+        lineage_rows = _lineage_from_footers(state.fetched._epoch_dir(epoch))
+        state.lineage.write_epoch_rows([("download", *r) for r in lineage_rows], epoch)
+
+        # 7. ONE atomic commit for all three tables.
+        max_warc = _utc_naive(m["max_warc"]) or EPOCH_MIN
         cursor = max(state.cursor("download"), max_warc)
         epoch_stats = {
             "epoch": epoch,
-            "urls_dequeued": n_dequeued,
-            "urls_fetched": int(sum(r[2] for r in lineage_rows)),
-            "urls_missing": int(sum(r[3] for r in lineage_rows)),
-            "bytes": int(sum(r[4] for r in lineage_rows)),
+            "urls_dequeued": int(n_dequeued),
+            "urls_fetched": int(n_ok),
+            "urls_failed": int(n_failed),
+            "urls_retrying": int(n_retry),
+            "urls_pending_after": int(n_frontier),
+            "bytes": int(m["bytes"] or 0),
         }
         state.commit_epoch(epoch, cursors={"download": cursor}, stats=epoch_stats)
         stats_out.append(epoch_stats)
-        total_fetched += epoch_stats["urls_fetched"] + epoch_stats["urls_missing"]
+        total_final += n_final
+
+        # 8. fold this epoch's newly-final urls into the carried bloom
+        #    (ACTION C — small, O(delta)); grow-and-rebuild only when the
+        #    count outgrows capacity.
+        if seen_bloom is not None and n_frontier > 0:
+            seen_bloom.fold(
+                base.where(F.col("status") != "retry").select("url"), n_new=n_final
+            )
+            seen_bloom.rebuild_if_needed(state.seen_urls(spark))
+            _t("bloom fold")
 
         dequeued.unpersist()
-        hits.unpersist()
+        base.unpersist()
         phase1.unpersist()
+        if n_frontier == 0:
+            break
     return stats_out
 
 
@@ -388,7 +511,11 @@ def catalog_crawl(
     * leaves bounded by *their page's advertised* page_ts — leaves newer
       than the index claims defer to the next run (Downloader.cs:126);
     * ``max_commits`` keeps only the first N whole commits of the global
-      commit order — never splits a commit (O8+O9, dense_rank cutoff);
+      commit order — never splits a commit (O8+O9, dense_rank cutoff).
+      It applies at BOTH page and leaf depth (the reference pins
+      MaxCommits at CatalogPage depth too:
+      DownloadCommandHandlerIntegrationTests MaxCommits — the cursor
+      stops at the last included commit so later commits re-crawl);
     * cursor advances to the max fully-included commit (min-watermark
       collapses to this under atomic epoch commits, O12/O13).
 
@@ -423,7 +550,7 @@ def catalog_crawl(
     # rule (Downloader.cs:126). The bounds relation is one row per page
     # (tiny vs leaves) → broadcast range join; at 10^10 scale this
     # becomes an equi-join on a precomputed page-bucket key instead.
-    w_idx = Window.orderBy("page_ts", "page_no")
+    w_idx = Window.partitionBy(F.lit(1)).orderBy("page_ts", "page_no")  # index is tiny by design
     bounds = index.withColumn(
         "prev_ts", F.coalesce(F.lag("page_ts").over(w_idx), F.lit(EPOCH_MIN))
     )
@@ -438,14 +565,23 @@ def catalog_crawl(
         .join(F.broadcast(sel_pages.select("page_no")), "page_no", "left_semi")
     )
 
+    if max_commits is not None:
+        leaves = commit_budget_cutoff(leaves, max_commits, ts_col="warc_ts")
+
     if depth == "page":
-        new_cursor = sel_pages.agg(F.max("page_ts")).first()[0]
+        # Page depth enumerates leaf items without downloading them, but
+        # MaxCommits still bounds the commits processed and the cursor
+        # stops at the last included commit — the reference re-crawls the
+        # remainder next run, never skips (Downloader.cs:222-224).
+        if max_commits is not None:
+            agg_ts = leaves.agg(F.max("warc_ts")).first()[0]
+            new_cursor = max(cursor, agg_ts or EPOCH_MIN)
+        else:
+            new_cursor = sel_pages.agg(F.max("page_ts")).first()[0]
         state.commit_epoch(run, cursors={consumer: new_cursor}, stats={"pages": n_pages})
         sel_pages.unpersist()
         return {"run": run, "pages": n_pages, "leaves": 0, "cursor": new_cursor}
 
-    if max_commits is not None:
-        leaves = commit_budget_cutoff(leaves, max_commits, ts_col="warc_ts")
     leaves = leaves.cache()
 
     fetched_rows = leaves.select(
@@ -457,9 +593,10 @@ def catalog_crawl(
         extract_text_udf(F.col("html")).alias("text"),
         "lang",
         F.lit("ok").alias("status"),
+        F.lit(1).alias("attempts"),
         F.length("html").cast("long").alias("content_bytes"),
         F.lit(None).cast("long").alias("n_tokens"),
-        F.lit(None).cast("int").alias("simhash"),
+        F.lit(None).cast("long").alias("simhash"),
         F.lit(None).cast("long").alias("quality_micro"),
     )
     state.fetched.write_epoch(fetched_rows, run)

@@ -30,11 +30,12 @@ FETCHED_SCHEMA = T.StructType([
     T.StructField("warc_ts", T.TimestampType()),
     T.StructField("text", T.StringType()),
     T.StructField("lang", T.StringType()),
-    T.StructField("status", T.StringType()),      # 'ok' | 'missing'
+    T.StructField("status", T.StringType()),      # 'ok' | 'failed' (final outcomes only)
+    T.StructField("attempts", T.IntegerType()),   # fetch attempts consumed (retry, O1)
     T.StructField("content_bytes", T.LongType()),
     # inline text-analysis columns (populated when CrawlConfig.analyze)
     T.StructField("n_tokens", T.LongType()),
-    T.StructField("simhash", T.IntegerType()),
+    T.StructField("simhash", T.LongType()),
     T.StructField("quality_micro", T.LongType()),
 ])
 
@@ -43,6 +44,7 @@ FRONTIER_SCHEMA = T.StructType([
     T.StructField("host", T.StringType()),
     T.StructField("priority", T.IntegerType()),
     T.StructField("discovery_ts", T.TimestampType()),
+    T.StructField("attempts", T.IntegerType()),   # failed fetch attempts so far
 ])
 
 LINEAGE_SCHEMA = T.StructType([
@@ -50,8 +52,8 @@ LINEAGE_SCHEMA = T.StructType([
     T.StructField("partition_id", T.IntegerType()),
     T.StructField("cursor_ts", T.TimestampType()),
     T.StructField("urls_fetched", T.LongType()),
-    T.StructField("urls_missing", T.LongType()),
-    T.StructField("bytes", T.LongType()),
+    T.StructField("urls_failed", T.LongType()),
+    T.StructField("bytes", T.LongType()),         # parquet bytes written for the partition
 ])
 
 

@@ -46,9 +46,10 @@ def extract_text(html: bytes) -> str:
 
 @dataclass
 class SimResult:
-    epochs: list[list[str]] = field(default_factory=list)  # visited urls in visit order
+    epochs: list[list[str]] = field(default_factory=list)  # FINAL urls per epoch, visit order
     texts: dict[str, str] = field(default_factory=dict)
-    missing: list[str] = field(default_factory=list)
+    failed: list[str] = field(default_factory=list)        # final failures (after retries)
+    attempts: dict[str, int] = field(default_factory=dict)  # attempts consumed per final url
 
 
 def simulate_web_crawl(
@@ -60,24 +61,29 @@ def simulate_web_crawl(
     default_budget: int = 4,
     global_budget: int | None = None,
     max_epochs: int = 100,
+    max_attempts: int = 3,
 ) -> SimResult:
+    """Fetch-retry semantics (reference Downloader.cs:297-318, 3 attempts
+    then permanent failure): a url whose fetch misses — absent from
+    ``pages``, or flaky (page['available_from_attempt'] > attempt number)
+    — returns to pending with attempts+1 until ``max_attempts``, then is
+    recorded as a final failure. Only FINAL outcomes count as seen."""
     robots = robots or {}
     budgets = budgets or {}
     res = SimResult()
     seen: set[str] = set()
-    # pending: url -> (priority, discovery_epoch)
-    pending: dict[str, tuple[int, int]] = {}
+    # pending: url -> (priority, discovery_epoch, attempts)
+    pending: dict[str, tuple[int, int, int]] = {}
     for url, pr in seeds:
         if valid_url(url):
             cur = pending.get(url)
-            if cur is None or (pr, 0) < cur:
-                pending[url] = (pr, 0)
+            if cur is None or (pr, 0) < cur[:2]:
+                pending[url] = (pr, 0, 0)
 
     for epoch in range(max_epochs):
-        candidates = {u: v for u, v in pending.items() if u not in seen}
         allowed = {
             u: v
-            for u, v in candidates.items()
+            for u, v in pending.items()
             if not any(path_of(u).startswith(p) for p in robots.get(host_of(u), []))
         }
         by_host: dict[str, list[str]] = {}
@@ -85,6 +91,7 @@ def simulate_web_crawl(
             by_host.setdefault(host_of(u), []).append(u)
         dequeued: list[str] = []
         for h, urls in by_host.items():
+            # dequeue order ignores attempts: (priority, discovery, url)
             urls.sort(key=lambda u: (allowed[u][0], allowed[u][1], u))
             dequeued.extend(urls[: budgets.get(h, default_budget)])
         dequeued.sort(key=lambda u: (allowed[u][0], allowed[u][1], u))
@@ -93,24 +100,37 @@ def simulate_web_crawl(
         if not dequeued:
             break
 
-        res.epochs.append(list(dequeued))
         remaining = {u: v for u, v in allowed.items() if u not in set(dequeued)}
-        new: dict[str, tuple[int, int]] = {}
+        finals: list[str] = []
+        retried: dict[str, tuple[int, int, int]] = {}
+        new: dict[str, tuple[int, int, int]] = {}
         for u in dequeued:
-            seen.add(u)
             page = pages.get(u)
-            if page is None:
-                res.missing.append(u)
+            att = allowed[u][2] + 1
+            ok = page is not None and att >= page.get("available_from_attempt", 1)
+            if not ok:
+                if att >= max_attempts:
+                    seen.add(u)
+                    res.failed.append(u)
+                    res.attempts[u] = att
+                    finals.append(u)
+                else:
+                    retried[u] = (allowed[u][0], allowed[u][1], att)
                 continue
+            seen.add(u)
+            res.attempts[u] = att
+            finals.append(u)
             res.texts[u] = extract_text(page["html"])
             pr = allowed[u][0] + 1
             for link in _HREF_RE.findall(page["html"].decode("utf-8")):
                 if not valid_url(link) or link in seen or link in remaining or link in set(dequeued):
                     continue
-                cand = (pr, epoch + 1)
-                if link not in new or cand < new[link]:
+                cand = (pr, epoch + 1, 0)
+                if link not in new or cand[:2] < new[link][:2]:
                     new[link] = cand
-        pending = {**remaining, **new}
+        res.epochs.append(finals)
+        # remaining/retried always beat a fresh re-discovery (older epoch)
+        pending = {**new, **remaining, **retried}
     return res
 
 

@@ -3,7 +3,7 @@ standalone operators applied to the fetched text."""
 
 from pyspark.sql import functions as F
 
-from crawlspark.operators.textops import quality_micro, simhash16, token_count
+from crawlspark.operators.textops import quality_micro, simhash64, token_count
 from crawlspark.plans.epoch import CrawlConfig, web_crawl
 from crawlspark.plans.state import CrawlState
 from crawlspark.testdata import write_corpus
@@ -23,7 +23,7 @@ def test_inline_analysis_matches_operators(spark, tmp_path):
     assert fetched.count() > 0
     mismatches = fetched.where(
         (F.col("n_tokens") != token_count("text"))
-        | (F.col("simhash") != simhash16(F.col("text")))
+        | (F.col("simhash") != simhash64(F.col("text")))
         | (F.col("quality_micro") != quality_micro("text"))
         | F.col("n_tokens").isNull()
     ).count()

@@ -129,6 +129,30 @@ def test_max_commits_split_never_splits_a_commit(spark, staged_dir, tmp_path):
     assert engine_all == sim_all and runs > 1
 
 
+def test_page_depth_max_commits_bounds_cursor(spark, staged_dir, tmp_path):
+    """At depth='page' MaxCommits still bounds the processed commits and
+    the cursor stops at the last included commit, so later commits
+    re-crawl next run — the reference pins MaxCommits at CatalogPage
+    depth (DownloadCommandHandlerIntegrationTests MaxCommits4: the
+    cursor stops at the 4th commit). Cursor trajectory must equal the
+    sequential simulator's run for run."""
+    pages, index = _step(spark, staged_dir, "step4")
+    sim_pages, sim_index = _sim_inputs(pages, index)
+    sd = str(tmp_path / "state")
+    cursor = EPOCH_MIN
+    runs = 0
+    while True:
+        res = catalog_crawl(spark, pages, index, sd, depth="page", max_commits=3)
+        if res["pages"] == 0:
+            break
+        _, sim_cursor = simulate_catalog_run(sim_pages, sim_index, cursor, max_commits=3)
+        assert res["cursor"] == sim_cursor, f"run {runs}"
+        cursor = sim_cursor
+        runs += 1
+        assert runs < 30
+    assert runs > 1  # the commit budget actually split the catalog
+
+
 def test_depth_index_only_advances_cursor(spark, staged_dir, tmp_path):
     pages, index = _step(spark, staged_dir, "step4")
     sd = str(tmp_path / "state")

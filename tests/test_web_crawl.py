@@ -60,13 +60,73 @@ def test_engine_matches_simulator(spark, corpus_dir, crawl_run):
         default_budget=8, max_epochs=20,
     )
     eng = _engine_trace(spark, state_dir)
-    assert len(eng) == len(sim.epochs), "epoch counts differ"
+    committed = CrawlState(state_dir).log.committed_epochs()
+    assert len(committed) == len(sim.epochs), "epoch counts differ"
     for e, sim_urls in enumerate(sim.epochs):
-        eng_urls = [r["url"] for r in eng[e]]
+        eng_urls = [r["url"] for r in eng.get(e, [])]
         assert eng_urls == sim_urls, f"visit order differs at epoch {e}"
     # byte-identical text per url
     eng_texts = {r["url"]: r["text"] for rows in eng.values() for r in rows if r["status"] == "ok"}
     assert eng_texts == sim.texts
+
+
+def test_retry_and_flaky_pages_match_simulator(spark, tmp_path):
+    """O1 fetch retry (Downloader.cs:297-318): transiently-failing pages
+    are re-queued with attempts+1 and succeed on a later epoch; pages
+    absent from the snapshot exhaust max_attempts and land as final
+    'failed' rows. Engine == pure-Python simulator, row for row."""
+    from crawlspark.testdata import write_corpus
+
+    d = str(tmp_path / "c")
+    paths = write_corpus(spark, d, n_pages=150, n_hosts=6)
+    pages = spark.read.parquet(paths["pages"])
+    # deterministic transient failures: ~1/5 of urls become available on
+    # attempt 2; ~1/11 are dropped from the snapshot entirely (never ok)
+    pages = pages.where(F.pmod(F.xxhash64("url"), F.lit(11)) != 0).withColumn(
+        "available_from_attempt",
+        F.when(F.pmod(F.xxhash64("url"), F.lit(5)) == 0, F.lit(2)).otherwise(F.lit(1)),
+    )
+    seeds = spark.read.parquet(paths["seeds"])
+    sd = str(tmp_path / "s")
+    stats = web_crawl(
+        spark, pages, sd, seeds,
+        config=CrawlConfig(default_budget=6, max_epochs=25, max_attempts=3),
+    )
+    sim = simulate_web_crawl(
+        {
+            r["url"]: {"html": bytes(r["html"]),
+                       "available_from_attempt": r["available_from_attempt"]}
+            for r in pages.collect()
+        },
+        [(r["url"], r["priority"]) for r in seeds.collect()],
+        default_budget=6, max_epochs=25, max_attempts=3,
+    )
+    state = CrawlState(sd)
+    assert len(state.log.committed_epochs()) == len(sim.epochs)
+    rows = (
+        state.fetched.read(spark)
+        .orderBy("epoch", "priority", "discovery_ts", "url")
+        .collect()
+    )
+    eng: dict[int, list] = {}
+    for r in rows:
+        eng.setdefault(r["epoch"], []).append(r)
+    for e, sim_urls in enumerate(sim.epochs):
+        assert [r["url"] for r in eng.get(e, [])] == sim_urls, f"epoch {e}"
+    for r in rows:
+        assert r["attempts"] == sim.attempts[r["url"]], r["url"]
+        if r["status"] == "ok":
+            assert r["text"] == sim.texts[r["url"]]
+        else:
+            assert r["text"] is None
+    assert sorted(r["url"] for r in rows if r["status"] == "failed") == sorted(sim.failed)
+    # the retry machinery actually exercised
+    assert any(r["attempts"] > 1 for r in rows)
+    assert sum(s["urls_retrying"] for s in stats) > 0
+    assert sum(s["urls_failed"] for s in stats) > 0
+    # final outcomes are unique per url even across retries
+    fetched = state.fetched.read(spark)
+    assert fetched.count() == fetched.select("url").distinct().count()
 
 
 def test_visited_set_is_duplicate_free(spark, crawl_run):
