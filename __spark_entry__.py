@@ -91,8 +91,10 @@ def _q_ordered_scan_limit(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     out = ordered_limit(ev, 500, ["ts", "event_id"])
+    # rank AFTER the limit, over a constant partition key: one tiny task
+    # on <=500 rows, never a global window over the full scan
     return out.select(
-        F.row_number().over(Window.orderBy("ts", "event_id")).alias("rn"),
+        F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("ts", "event_id")).alias("rn"),
         "event_id",
         F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
     )
@@ -132,9 +134,11 @@ def _q_distinct_commits(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").withColumn("commit_ts", F.date_trunc("HOUR", "ts"))
     out = distinct_commits(ev, "commit_ts")
+    # the distinct commit set is tiny by design; constant partition key
+    # keeps WindowExec off the single-partition warning path
     return out.select(
         F.date_format("commit_ts", TS_FMT_SPARK).alias("commit_str"),
-        F.dense_rank().over(Window.orderBy("commit_ts")).alias("rk"),
+        F.dense_rank().over(Window.partitionBy(F.lit(1)).orderBy("commit_ts")).alias("rk"),
     )
 
 
@@ -586,6 +590,73 @@ _register(
 )
 
 
+# shared oracle CTE prefix: shingles → signatures → band keys → distinct
+# candidate pairs (mirrors minhash_lsh_pairs exactly)
+def _mh_cte() -> str:
+    return f"""sh AS (SELECT doc_id, {_duck_shingles()} AS sh FROM documents),
+            sigs AS (SELECT doc_id, {_mh_sig_cols} FROM sh),
+            bands AS ({_mh_band_rows}),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b USING (band_idx, band_key)
+                     WHERE a.doc_id < b.doc_id)"""
+
+
+_J_THRESH = 0.6
+
+
+def _q_dedup_lsh_verify(spark, sf_dir):
+    """LSH → exact-verify composition: candidate pairs from the banded
+    equi-join, verified by exact n-gram Jaccard (work bounded by the
+    candidate set, never all-pairs)."""
+    from crawlspark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_verify
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(docs, num_hashes=_MH_N, band_size=_MH_BAND, k=_MH_K)
+    return ngram_jaccard_verify(docs, cands, k=_MH_K, threshold=_J_THRESH)
+
+
+_verify_ctes = f"""{_mh_cte()},
+            shd AS (SELECT doc_id, unnest(list_distinct({_duck_shingles()})) AS s
+                    FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+            inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+                      FROM cand c
+                      JOIN shd a ON a.doc_id = c.id_a
+                      JOIN shd b ON b.doc_id = c.id_b AND b.s = a.s
+                      GROUP BY 1, 2),
+            ver AS (SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+                    FROM inter
+                    JOIN sizes na ON na.doc_id = id_a
+                    JOIN sizes nb ON nb.doc_id = id_b
+                    WHERE round(i / (na.n + nb.n - i), 6) >= {_J_THRESH})"""
+
+_register(
+    "dedup_lsh_verify",
+    _q_dedup_lsh_verify,
+    f"WITH {_verify_ctes} SELECT id_a, id_b, jaccard FROM ver",
+)
+
+
+def _q_dedup_keepers(spark, sf_dir):
+    """Full pipeline: LSH candidates → Jaccard verify → greedy keeper
+    set (drop docs with a verified near-dup of smaller id)."""
+    from crawlspark.operators.dedup import lsh_dedup_keepers
+
+    return lsh_dedup_keepers(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MH_N, band_size=_MH_BAND, k=_MH_K, threshold=_J_THRESH,
+    )
+
+
+_register(
+    "dedup_keepers",
+    _q_dedup_keepers,
+    f"""WITH {_verify_ctes}
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM ver)""",
+)
+
+
 _MH_CAP = 20
 
 
@@ -696,6 +767,65 @@ _register(
                 row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
          FROM scored) t
        WHERE rank <= 5""",
+)
+
+
+def _q_embedding_near_dups_exact(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact brute-force variant
+    (the correctness baseline for the LSH-bucketed embedding_near_dups
+    operator): all pairs with cos >= 0.9."""
+    from crawlspark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.9)
+    )
+
+
+_COS_AB = """round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
+
+_register(
+    "embedding_near_dups_exact",
+    _q_embedding_near_dups_exact,
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_AB} >= 0.9""",
+)
+
+
+def _q_json_roundtrip(spark, sf_dir):
+    """O3 JSON parse/serialize (JsonFileHelper.cs:56-89): serialize each
+    row to a JSON payload (to_json), parse it back (from_json) plus a
+    point extraction (get_json_object) — the roundtrip must be the
+    identity, which is exactly what the oracle pins."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.to_json(F.struct("doc_id", "source", "lang"))
+    parsed = F.from_json(
+        payload, "doc_id BIGINT, source STRING, lang STRING"
+    )
+    return docs.select(
+        F.col("doc_id"),
+        parsed.getField("source").alias("source_rt"),
+        parsed.getField("lang").alias("lang_rt"),
+        F.get_json_object(payload, "$.source").alias("source_path"),
+    )
+
+
+_register(
+    "json_roundtrip",
+    _q_json_roundtrip,
+    """SELECT doc_id, source AS source_rt, lang AS lang_rt, source AS source_path
+       FROM documents""",
 )
 
 

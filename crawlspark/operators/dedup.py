@@ -154,6 +154,57 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def ngram_jaccard_verify(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         k: int = 3, threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN candidate-pair set — the verify
+    stage of the standard LSH candidate→verify→keeper pipeline. Work is
+    bounded by the candidates (never all-pairs): each pair costs one
+    shingle-intersection count via two equi-joins. Pairs sharing no
+    shingle at all drop out (their Jaccard is 0 — below any positive
+    threshold; LSH candidates always share a band, so in the composed
+    pipeline this loses nothing)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_dedup_keepers(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 8, band_size: int = 2, k: int = 3,
+                      threshold: float = 0.6,
+                      max_bucket_size: int | None = None) -> DataFrame:
+    """The composed near-dup pipeline: LSH candidates → exact Jaccard
+    verify → greedy keeper set (drop every doc that has a verified
+    near-dup with a smaller id; the min-id representative survives).
+    Greedy-by-id is the standard single-pass policy — it equals the
+    transitive-closure representative for clique-like duplicate clusters
+    and never drops a doc without a verified twin."""
+    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, band_size, k, max_bucket_size)
+    verified = ngram_jaccard_verify(df, cands, id_col, text_col, k, threshold)
+    dropped = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.select(id_col).join(dropped, id_col, "left_anti")
+
+
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3,
                   max_bucket_size: int | None = None) -> DataFrame:

@@ -24,12 +24,14 @@ small runs, so the loop runs a FIXED, small number of actions per epoch):
     seen (finally-fetched) url, so the dequeue path needs NO seen-set
     work at all; the seen filter runs once, on newly-discovered links,
     inside the frontier-build job.
-  * **3 Spark actions per epoch**: (A) fetched write, (B) frontier
-    write, (C) seen-bloom delta fold. Everything else the driver needs
-    (row counts, per-partition lineage, cursor) comes from one
-    Observation attached to (A)'s plan and from parquet FOOTER metadata
-    of the written files — O(#files) driver work, no data-page reads,
-    no standalone count() actions.
+  * **ONE write action per epoch** stages both the fetched table and
+    the next frontier (union + partitionBy discriminator, split into
+    each table's epoch dir), plus an O(delta) bloom fold only while the
+    bloom is active. Everything else the driver needs (row counts,
+    per-partition lineage, cursor, break conditions) comes from one
+    Observation attached to the write plan and from parquet FOOTER
+    metadata of the written files — O(#files) driver work, no data-page
+    reads, no standalone count() actions.
   * the seen-set bloom is folded forward incrementally (O(epoch delta)),
     shard-partitioned so the driver collects at most one filter's worth
     of bytes (operators/bloom.py).
@@ -154,6 +156,12 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     bloom_shards: int = 32
     bloom_capacity: int = 1_000_000  # initial sizing; grows 4x on overflow
+    # cost-based activation: below this seen-set size the exact
+    # broadcast anti-join is cheaper than an Arrow probe round-trip per
+    # link (the seen urls fit in a broadcast); above it the broadcast is
+    # impossible and the bloom shards carry the filter. Set 0 to force
+    # bloom from the first epoch (tests do).
+    bloom_min_seen: int = 2_000_000
     analyze: bool = False            # inline text analysis on fetch (tokens/simhash/quality)
     broadcast_threshold: int = 100_000  # dequeues larger than this use a shuffle-hash join
     local_checkpoint: bool = False   # truncate plan lineage at the epoch's cached
@@ -231,8 +239,9 @@ def web_crawl(
             spark, capacity=max(cfg.bloom_capacity, 2 * total_final),
             fpp=cfg.bloom_fpp, n_shards=cfg.bloom_shards,
         )
-        if total_final > 0:  # resume: one full-history fold, then deltas
-            seen_bloom.fold(state.seen_urls(spark), n_new=total_final)
+        # (no eager fold here: the per-epoch catch-up below folds the
+        # committed history once the seen set crosses bloom_min_seen —
+        # this also covers resume)
 
     trace = os.environ.get("CRAWLSPARK_TRACE") == "1"
     tmark = [time.time()]
@@ -376,23 +385,6 @@ def web_crawl(
         # 4. stage the fetched table: FINAL outcomes only ('ok'/'failed');
         #    'retry' rows go back to the frontier instead (O1 retry).
         fetched_out = base_obs.where(F.col("status") != "retry").drop("links")
-        state.fetched.write_epoch(fetched_out, epoch)          # ACTION A
-        _t("write fetched")
-        m = obs.get
-        n_dequeued = m["n_dequeued"]
-        n_ok, n_failed = m["n_ok"], m["n_failed"]
-        n_final = n_ok + n_failed
-        n_retry = n_dequeued - n_final
-        if n_dequeued == 0:
-            # nothing was pending beyond robots-blocked leftovers: the
-            # crawl is complete. The uncommitted epoch dir is invisible
-            # to readers; remove it for tidiness.
-            import shutil
-            shutil.rmtree(state.fetched._epoch_dir(epoch), ignore_errors=True)
-            dequeued.unpersist()
-            phase1.unpersist()
-            base.unpersist()
-            break
 
         # 5. discover outlinks → next frontier.
         #      next = dedupe(remaining ∪ retries ∪ (links ∖ seen)) ∖ finals
@@ -410,20 +402,38 @@ def web_crawl(
                 (F.col("priority") + 1).alias("priority"),
             )
             .where(is_valid_http_url(F.col("url")))
+            .withColumn("host", host_of(F.col("url")))
             .withColumn("discovery_ts", F.lit(_discovery_ts(epoch + 1)))
             .withColumn("attempts", F.lit(0))
         )
-        new_links = seen_filter(
-            spark, links, state.seen_urls(spark),
-            use_bloom=cfg.use_bloom,
-            shards_bc=seen_bloom.bc if seen_bloom is not None else None,
-            seen_count=seen_bloom.count if seen_bloom is not None else None,
-        ).withColumn("host", host_of(F.col("url")))
+        # cost-based seen-check: once the seen set outgrows a broadcast
+        # (bloom_min_seen), the bloom shards prefilter links BEFORE the
+        # groupBy shuffle and only the maybe-seen residue joins the seen
+        # table. Below the threshold, the exact anti-join runs AFTER the
+        # groupBy (reusing its url partitioning) against a broadcastable
+        # seen side — cheaper than an Arrow probe round-trip per link.
+        # Catch-up fold: first epoch above the threshold (or a resume)
+        # folds the committed history once; OR-ing is idempotent.
+        bloom_active = seen_bloom is not None and total_final >= cfg.bloom_min_seen
+        if bloom_active and seen_bloom.count < total_final:
+            seen_bloom.fold(state.seen_urls(spark), n_new=total_final - seen_bloom.count)
+            seen_bloom.rebuild_if_needed(state.seen_urls(spark))
+        if bloom_active:
+            # seen_filter evaluates its input twice (definitely-new +
+            # maybe-seen residue branches), so it must run over a CHEAP
+            # plan — the link explode straight off the cached `base`,
+            # never a post-shuffle relation.
+            links = seen_filter(
+                spark, links, state.seen_urls(spark),
+                use_bloom=True,
+                shards_bc=seen_bloom.bc,
+                seen_count=seen_bloom.count,
+            )
         frontier_cols = ["url", "host", "priority", "discovery_ts", "attempts"]
         next_frontier = (
             remaining.select(*frontier_cols)
             .unionByName(base.where(F.col("status") == "retry").select(*frontier_cols))
-            .unionByName(new_links.select(*frontier_cols))
+            .unionByName(links.select(*frontier_cols))
             .groupBy("url")
             .agg(F.min(F.struct("discovery_ts", "priority", "attempts", "host")).alias("s"))
             .select(
@@ -435,16 +445,46 @@ def web_crawl(
             )
             .join(base.where(F.col("status") != "retry").select("url"), "url", "left_anti")
         )
-        state.frontier.write_epoch(next_frontier, epoch)       # ACTION B
-        _t("write frontier")
+        if not bloom_active and total_final > 0:
+            # exact path: remaining/retries are unseen by the frontier
+            # invariant, so this is a no-op for them; links to seen urls
+            # drop here. Runs on the deduped set, post-shuffle.
+            next_frontier = next_frontier.join(state.seen_urls(spark), "url", "left_anti")
+
+        # 6. ONE write action stages BOTH tables: fetched rows and next
+        #    frontier union under a discriminator column, partitionBy
+        #    splits them into each table's epoch dir. One pass over the
+        #    caches, one job's worth of scheduling per epoch.
+        combined = fetched_out.withColumn("__table", F.lit("fetched")).unionByName(
+            next_frontier.withColumn("__table", F.lit("frontier")),
+            allowMissingColumns=True,
+        )
+        state.fetched.write_epoch_split(state.frontier, combined, epoch)  # ACTION A
+        _t("write fetched+frontier")
+        m = obs.get
+        n_dequeued = m["n_dequeued"]
+        n_ok, n_failed = m["n_ok"], m["n_failed"]
+        n_final = n_ok + n_failed
+        n_retry = n_dequeued - n_final
+        if n_dequeued == 0:
+            # nothing was pending beyond robots-blocked leftovers: the
+            # crawl is complete. The uncommitted epoch dirs are invisible
+            # to readers; remove them for tidiness.
+            import shutil
+            shutil.rmtree(state.fetched._epoch_dir(epoch), ignore_errors=True)
+            shutil.rmtree(state.frontier._epoch_dir(epoch), ignore_errors=True)
+            dequeued.unpersist()
+            phase1.unpersist()
+            base.unpersist()
+            break
         n_frontier, _nf = _dir_row_count(state.frontier._epoch_dir(epoch))
 
-        # 6. per-partition lineage + fetch metrics (north_star checkpoint)
+        # 7. per-partition lineage + fetch metrics (north_star checkpoint)
         #    from the written files' FOOTERS — no extra action, O(#files).
         lineage_rows = _lineage_from_footers(state.fetched._epoch_dir(epoch))
         state.lineage.write_epoch_rows([("download", *r) for r in lineage_rows], epoch)
 
-        # 7. ONE atomic commit for all three tables.
+        # 8. ONE atomic commit for all three tables.
         max_warc = _utc_naive(m["max_warc"]) or EPOCH_MIN
         cursor = max(state.cursor("download"), max_warc)
         epoch_stats = {
@@ -460,10 +500,13 @@ def web_crawl(
         stats_out.append(epoch_stats)
         total_final += n_final
 
-        # 8. fold this epoch's newly-final urls into the carried bloom
+        # 9. fold this epoch's newly-final urls into the carried bloom
         #    (ACTION C — small, O(delta)); grow-and-rebuild only when the
-        #    count outgrows capacity.
-        if seen_bloom is not None and n_frontier > 0:
+        #    count outgrows capacity. Runs only while the bloom is
+        #    active (above bloom_min_seen) and a further epoch will
+        #    consume it — otherwise the catch-up fold at activation (or
+        #    on resume) rebuilds from the committed history.
+        if bloom_active and n_frontier > 0 and epoch + 1 < cfg.max_epochs:
             seen_bloom.fold(
                 base.where(F.col("status") != "retry").select("url"), n_new=n_final
             )

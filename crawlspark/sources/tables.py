@@ -122,6 +122,35 @@ class EpochTable:
         pq.write_table(pa.table(dict(zip(names, arrays))), os.path.join(stage, "part-0.parquet"))
         os.rename(stage, final)
 
+    def write_epoch_split(
+        self,
+        other: "EpochTable",
+        combined: DataFrame,
+        epoch: int,
+        part_col: str = "__table",
+    ) -> None:
+        """Stage TWO tables' epoch partitions from ONE Spark action: the
+        caller unions both row sets with a ``part_col`` discriminator
+        (values = table names); one partitionBy write computes everything
+        in a single pass over the upstream caches, then the staged
+        subdirs are renamed into each table's epoch dir. Same atomicity
+        contract as write_epoch — nothing is visible until the shared
+        commit-log advance."""
+        stage = os.path.join(self.dir, f"_stage_pair_epoch={epoch}")
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        combined.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+        for table in (self, other):
+            final = table._epoch_dir(epoch)
+            if os.path.exists(final):
+                shutil.rmtree(final)  # replay overwrite (idempotent re-run)
+            src = os.path.join(stage, f"{part_col}={table.name}")
+            if os.path.exists(src):
+                os.rename(src, final)
+            else:  # no rows for this table this epoch: stage a 0-row file
+                table.write_epoch_rows([], epoch)
+        shutil.rmtree(stage, ignore_errors=True)
+
     def read(self, spark: SparkSession, epochs: list[int] | None = None) -> DataFrame:
         """Committed rows only (optionally a subset of epochs), with the
         ``epoch`` partition column attached."""

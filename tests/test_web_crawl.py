@@ -180,13 +180,41 @@ def test_bloom_does_not_change_visited_set(spark, tmp_path):
         sd = str(tmp_path / f"s{flag}")
         web_crawl(
             spark, pages, sd, seeds,
-            config=CrawlConfig(default_budget=6, max_epochs=15, use_bloom=flag),
+            # bloom_min_seen=0 forces the bloom path from the first epoch
+            # (the cost-based default would stay on the exact anti-join
+            # at this corpus size)
+            config=CrawlConfig(default_budget=6, max_epochs=15, use_bloom=flag,
+                               bloom_min_seen=0),
         )
         traces[flag] = [
             (r["epoch"], r["url"])
             for r in CrawlState(sd).fetched.read(spark).orderBy("epoch", "url").collect()
         ]
     assert traces[True] == traces[False]
+
+
+def test_bloom_activation_midcrawl_preserves_visited_set(spark, tmp_path):
+    """The cost-based bloom switch (exact anti-join below bloom_min_seen,
+    bloom shards + catch-up fold above) must never change the visited
+    set — activate it mid-crawl and compare against never-activating."""
+    from crawlspark.testdata import write_corpus
+
+    d = str(tmp_path / "c")
+    paths = write_corpus(spark, d, n_pages=120, n_hosts=6)
+    pages = spark.read.parquet(paths["pages"])
+    seeds = spark.read.parquet(paths["seeds"])
+    traces = {}
+    for mid in (40, 10 ** 9):  # activates around epoch 2 vs never
+        sd = str(tmp_path / f"s{mid}")
+        web_crawl(
+            spark, pages, sd, seeds,
+            config=CrawlConfig(default_budget=6, max_epochs=15, bloom_min_seen=mid),
+        )
+        traces[mid] = [
+            (r["epoch"], r["url"])
+            for r in CrawlState(sd).fetched.read(spark).orderBy("epoch", "url").collect()
+        ]
+    assert traces[40] == traces[10 ** 9]
 
 
 def test_fetch_join_strategies_agree(spark, tmp_path):
