@@ -368,6 +368,51 @@ PRIORITY_SQL = ("CASE event_type WHEN 'purchase' THEN 0 WHEN 'signup' THEN 1 "
                 "WHEN 'click' THEN 2 WHEN 'view' THEN 3 ELSE 4 END")
 
 
+def _q_interval_bucket_join(spark, sf_dir):
+    """Catalog leaf→page membership (Downloader.cs:120-131: item warc_ts
+    ∈ (prev page_ts, page_ts]) as a standalone query: day-end boundaries
+    over events play the page index, every event is assigned to its
+    containing interval via the bucketed interval join — a
+    BroadcastHashJoin on a derived time bucket with the exact range
+    predicate as residual (operators/intervals.py), never the
+    O(#pages)-per-row nested loop."""
+    import datetime as dt
+
+    from crawlspark.operators.intervals import bucketed_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.max("ts").alias("page_ts")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("page_ts")  # tiny post-agg set
+    bounds = days.select(
+        F.row_number().over(w).cast("int").alias("page_no"),
+        "page_ts",
+        F.coalesce(F.lag("page_ts").over(w), F.lit(dt.datetime(1900, 1, 1))).alias("prev_ts"),
+    )
+    return (
+        bucketed_interval_join(ev.select("event_id", "ts"), bounds, ts_col="ts")
+        .groupBy("page_no")
+        .agg(F.count(F.lit(1)).alias("n_leaves"), F.max("event_id").alias("max_event_id"))
+    )
+
+
+_register(
+    "interval_bucket_join",
+    _q_interval_bucket_join,
+    """WITH days AS (SELECT date_trunc('day', ts) AS day, max(ts) AS page_ts
+                     FROM events GROUP BY 1),
+            bounds AS (SELECT CAST(row_number() OVER (ORDER BY page_ts) AS INT) AS page_no,
+                              page_ts,
+                              coalesce(lag(page_ts) OVER (ORDER BY page_ts),
+                                       TIMESTAMP '1900-01-01') AS prev_ts
+                       FROM days)
+       SELECT b.page_no, count(*) AS n_leaves, max(e.event_id) AS max_event_id
+       FROM events e JOIN bounds b ON e.ts > b.prev_ts AND e.ts <= b.page_ts
+       GROUP BY b.page_no""",
+)
+
+
 def _q_frontier_dequeue(spark, sf_dir):
     """The flagship politeness dequeue: events as a frontier (user_id ≙
     host, event-type ≙ priority class), per-host top-3 then global
@@ -936,6 +981,24 @@ def _q_embedding_lsh_topk(spark, sf_dir):
 
 
 _register("embedding_lsh_topk", _q_embedding_lsh_topk, None)
+
+
+def _q_embedding_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer, n_probe inverted lists) — the
+    data-adaptive scale path beside the hyperplane tables: corpus list
+    assignment is one expression-only pass, probing touches
+    ~n_probe/n_centroids of the corpus. Recall >= 0.9 and full-probe ==
+    brute-force pinned by tests/test_similarity.py."""
+    from crawlspark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        emb.where(F.col("vec_id") < 5), emb, k=5,
+        n_centroids=16, n_probe=4, n_iters=2, sample_size=2048,
+    )
+
+
+_register("embedding_ivf_topk", _q_embedding_ivf_topk, None)
 
 
 def _q_simhash_pairs(spark, sf_dir):

@@ -187,6 +187,130 @@ def lsh_cosine_topk_multi(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _centroid_scores(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<sim,cid>>: cosine of ``vec_col`` against every
+    centroid, as one JVM-side expression (centroids are literals — the
+    IVF analog of a broadcast variable)."""
+    cents = F.array(*[
+        F.struct(
+            F.lit(int(cid)).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+        )
+        for cid, cv in centroids
+    ])
+    return F.transform(
+        cents,
+        lambda s: F.struct(
+            F.round(cosine(F.col(vec_col), s["cv"]), 9).alias("sim"),
+            s["cid"].alias("cid"),
+        ),
+    )
+
+
+def _assign_list(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
+    # struct max is lexicographic: highest sim, ties broken by cid
+    return F.array_max(_centroid_scores(vec_col, centroids))["cid"]
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    sample_size: int = 4096,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer for IVF: Lloyd's k-means on a
+    hash-ordered sample. Returns the centroids driver-side — k×dim
+    floats, the IVF analog of a broadcast codebook (NOT a data collect;
+    MLlib's KMeans aggregates the same state to the driver).
+
+    Determinism: the training sample and the initial centroids are the
+    ``sample_size`` / ``n_centroids`` rows with smallest
+    (xxhash64(id), id) — no RNG state; identical inputs give identical
+    codebooks. At 10^10 vectors the sample bound keeps the fit O(1)
+    jobs over a few thousand rows regardless of corpus size."""
+    sample = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(sample_size)
+        .cache()
+    )
+    init = sample.limit(n_centroids).select("_v").collect()
+    centroids = [(i, list(r["_v"])) for i, r in enumerate(init)]
+    for _ in range(n_iters):
+        assigned = sample.select(_assign_list("_v", centroids).alias("cid"), "_v")
+        # element-wise mean per cluster: posexplode → (cid, pos) avg →
+        # re-assemble in pos order (the standard DataFrame array-mean)
+        means = (
+            assigned.select("cid", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.col("pm.m").alias("cv"))
+            .collect()
+        )
+        new = {r["cid"]: [float(x) for x in r["cv"]] for r in means}
+        # empty clusters keep their previous centroid
+        centroids = [(cid, new.get(cid, cv)) for cid, cv in centroids]
+    sample.unpersist()
+    return centroids
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 3,
+    sample_size: int = 4096,
+) -> DataFrame:
+    """IVF ANN — the data-adaptive scale path next to the LSH tables.
+
+    Fit a coarse quantizer (``ivf_fit_centroids``), give every corpus
+    vector its inverted-list id in ONE expression-only pass (no shuffle
+    of the vectors), probe each query's ``n_probe`` best lists, and
+    exact-cosine re-rank only the probed lists' members. All joins are
+    equi-joins on ``list_id``; per-query work is ~n_probe/n_centroids of
+    the corpus instead of all of it — and unlike the hyperplane tables
+    the partition of the corpus follows the DATA (k-means cells), so
+    recall holds on clustered corpora where fixed random planes split
+    clusters. Output (query_id, neighbor_id, cos_sim, rank)."""
+    from pyspark.sql import Window
+
+    cents = ivf_fit_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
+        n_iters=n_iters, sample_size=sample_size,
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        _assign_list(vec_col, cents).alias("list_id"),
+    )
+    probed = F.slice(
+        F.reverse(F.array_sort(_centroid_scores(vec_col, cents))), 1, n_probe
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(probed["cid"]).alias("list_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_dups(
     df: DataFrame,
     *,

@@ -69,6 +69,7 @@ from pyspark.sql import functions as F
 from crawlspark.functions.extract import extract_page_udf, extract_text_udf
 from crawlspark.functions.urls import host_of, is_valid_http_url
 from crawlspark.operators.bloom import IncrementalSeen, seen_filter
+from crawlspark.operators.intervals import bucketed_interval_join
 from crawlspark.operators.ordering import (
     EPOCH_MIN,
     commit_budget_cutoff,
@@ -225,6 +226,14 @@ def web_crawl(
     prior = state.epoch_stats()
     # final outcomes only (ok + failed) — retried urls are still pending
     total_final = sum(s.get("urls_fetched", 0) + s.get("urls_failed", 0) for s in prior)
+
+    # pin the tiny broadcast sides once per RUN: every epoch job
+    # broadcasts them, and without this each broadcast re-scans the
+    # user's source (parquet/CSV) from scratch — O(#epochs) re-reads
+    if robots is not None:
+        robots = robots.localCheckpoint(eager=True)
+    if host_budgets is not None:
+        host_budgets = host_budgets.localCheckpoint(eager=True)
 
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     has_avail = "available_from_attempt" in pages.columns
@@ -590,21 +599,19 @@ def catalog_crawl(
     # a leaf belongs to page p iff warc_ts ∈ (prev page_ts, page_ts].
     # Leaves newer than every advertised page_ts match no page and defer
     # to the next run — the reference's `max = pageItem.CommitTimestamp`
-    # rule (Downloader.cs:126). The bounds relation is one row per page
-    # (tiny vs leaves) → broadcast range join; at 10^10 scale this
-    # becomes an equi-join on a precomputed page-bucket key instead.
+    # rule (Downloader.cs:126). The membership join is the bucketed
+    # interval join (operators/intervals.py): a BroadcastHashJoin on a
+    # derived time-bucket key with the exact range predicate as residual
+    # — O(1) per leaf at any page count, where the naive theta join is a
+    # BroadcastNestedLoopJoin evaluating O(#pages) predicates per leaf.
     w_idx = Window.partitionBy(F.lit(1)).orderBy("page_ts", "page_no")  # index is tiny by design
-    bounds = index.withColumn(
+    bounds = index.select("page_no", "page_ts").withColumn(
         "prev_ts", F.coalesce(F.lag("page_ts").over(w_idx), F.lit(EPOCH_MIN))
     )
     leaves = (
-        pages.alias("l")
-        .join(
-            F.broadcast(bounds).alias("b"),
-            (F.col("l.warc_ts") > F.col("b.prev_ts")) & (F.col("l.warc_ts") <= F.col("b.page_ts")),
-        )
-        .where(F.col("l.warc_ts") > F.lit(cursor) if cursor > EPOCH_MIN else F.lit(True))
-        .select("l.*", "b.page_no", "b.page_ts")
+        bucketed_interval_join(pages, bounds, ts_col="warc_ts")
+        .where(F.col("warc_ts") > F.lit(cursor) if cursor > EPOCH_MIN else F.lit(True))
+        .drop("prev_ts")
         .join(F.broadcast(sel_pages.select("page_no")), "page_no", "left_semi")
     )
 

@@ -135,3 +135,60 @@ def test_embedding_near_dups_finds_planted_pairs(spark, emb):
         a, b = v[r["id_a"]], v[r["id_b"]]
         sim = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert sim >= 0.95 - 1e-6
+
+
+def test_ivf_topk_recall_at_10k(spark):
+    """IVF (k-means coarse quantizer + n_probe inverted lists) must
+    recover >= 90% of true nearest neighbors on the same 10k
+    planted-cluster corpus as the multi-table LSH test — the
+    data-adaptive cells should capture clusters that fixed random
+    hyperplanes can split."""
+    from crawlspark.operators.similarity import ivf_cosine_topk
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(2500, 24)
+    vecs = np.concatenate(
+        [base + rng.randn(2500, 24) * 0.03 for _ in range(4)]
+    ).astype(np.float32)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows)
+    n_q = 25
+    approx = ivf_cosine_topk(
+        df.where(f"vec_id < {n_q}"), df, k=1,
+        n_centroids=16, n_probe=3, n_iters=2, sample_size=1024,
+    ).collect()
+    approx_nn = {r["query_id"]: r["neighbor_id"] for r in approx if r["rank"] == 1}
+    v = vecs.astype(np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    sims = v[:n_q] @ v.T
+    hits = 0
+    for q in range(n_q):
+        s = sims[q].copy()
+        s[q] = -2.0
+        best = float(s.max())
+        got = approx_nn.get(q)
+        if got is not None and s[got] >= best - 1e-6:
+            hits += 1
+    assert hits >= int(n_q * 0.9), f"IVF recall too low: {hits}/{n_q}"
+
+
+def test_ivf_fit_is_deterministic(spark):
+    from crawlspark.operators.similarity import ivf_fit_centroids
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(400, 8).astype(np.float32)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows)
+    a = ivf_fit_centroids(df, n_centroids=8, n_iters=2, sample_size=256)
+    b = ivf_fit_centroids(df, n_centroids=8, n_iters=2, sample_size=256)
+    assert a == b
+    # probing ALL lists makes IVF exact: equals brute force top-1
+    from crawlspark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    exact = {r["query_id"]: r["neighbor_id"]
+             for r in cosine_topk(df.where("vec_id < 6"), df, k=1).collect()}
+    full = {r["query_id"]: r["neighbor_id"]
+            for r in ivf_cosine_topk(df.where("vec_id < 6"), df, k=1,
+                                     n_centroids=8, n_probe=8, n_iters=2,
+                                     sample_size=256).collect()}
+    assert full == exact
