@@ -91,12 +91,17 @@ def _q_ordered_scan_limit(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     out = ordered_limit(ev, 500, ["ts", "event_id"])
-    # rank AFTER the limit, over a constant partition key: one tiny task
-    # on <=500 rows, never a global window over the full scan
-    return out.select(
-        F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("ts", "event_id")).alias("rn"),
-        "event_id",
-        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+    # rank AFTER the limit as one sorted array (single-group agg +
+    # posexplode on <=500 rows) — no global window over the full scan,
+    # and no constant-key window either (Catalyst folds it to an empty
+    # partition spec and WindowExec warns)
+    arr = out.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id"))).alias("a")
+    )
+    return arr.select(F.posexplode("a").alias("i", "s")).select(
+        (F.col("i") + 1).alias("rn"),
+        F.col("s.event_id").alias("event_id"),
+        F.date_format("s.ts", TS_FMT_SPARK).alias("ts_str"),
     )
 
 
@@ -134,11 +139,12 @@ def _q_distinct_commits(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").withColumn("commit_ts", F.date_trunc("HOUR", "ts"))
     out = distinct_commits(ev, "commit_ts")
-    # the distinct commit set is tiny by design; constant partition key
-    # keeps WindowExec off the single-partition warning path
-    return out.select(
+    # distinct values ⇒ dense_rank == position in sorted order: one
+    # sorted array + posexplode, no single-partition window node
+    arr = out.groupBy().agg(F.array_sort(F.collect_list("commit_ts")).alias("a"))
+    return arr.select(F.posexplode("a").alias("i", "commit_ts")).select(
         F.date_format("commit_ts", TS_FMT_SPARK).alias("commit_str"),
-        F.dense_rank().over(Window.partitionBy(F.lit(1)).orderBy("commit_ts")).alias("rk"),
+        (F.col("i") + 1).alias("rk"),
     )
 
 
@@ -384,11 +390,15 @@ def _q_interval_bucket_join(spark, sf_dir):
     days = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.max("ts").alias("page_ts")
     )
-    w = Window.partitionBy(F.lit(1)).orderBy("page_ts")  # tiny post-agg set
-    bounds = days.select(
-        F.row_number().over(w).cast("int").alias("page_no"),
+    # tiny post-agg set → one sorted array; posexplode gives page_no and
+    # element_at gives the predecessor (no single-partition window node)
+    arr = days.groupBy().agg(F.array_sort(F.collect_list("page_ts")).alias("a"))
+    bounds = arr.select(F.col("a"), F.posexplode("a").alias("i", "page_ts")).select(
+        (F.col("i") + 1).cast("int").alias("page_no"),
         "page_ts",
-        F.coalesce(F.lag("page_ts").over(w), F.lit(dt.datetime(1900, 1, 1))).alias("prev_ts"),
+        F.when(F.col("i") == 0, F.lit(dt.datetime(1900, 1, 1)))
+        .otherwise(F.element_at("a", F.col("i")))
+        .alias("prev_ts"),
     )
     return (
         bucketed_interval_join(ev.select("event_id", "ts"), bounds, ts_col="ts")
@@ -429,13 +439,19 @@ def _q_frontier_dequeue(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("priority", "ts", "event_id")
     deq = fr.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
     # global budget: TakeOrderedAndProject (per-partition heaps + driver
-    # merge — the scale path), then rank the <=100 survivors in one tiny
-    # task. Never a global window over the full dequeued set.
+    # merge — the scale path), then rank the <=100 survivors as ONE
+    # sorted array (single-group agg + posexplode). Never a global
+    # window over the full dequeued set — and not even a constant-key
+    # window here: Catalyst folds partitionBy(lit) to an empty partition
+    # spec, which trips the WindowExec single-partition warning.
     top = deq.orderBy("priority", "ts", "event_id").limit(100)
-    wg = Window.partitionBy(F.lit(1)).orderBy("priority", "ts", "event_id")
-    return (
-        top.withColumn("grank", F.row_number().over(wg))
-        .select("grank", "user_id", "event_id", "priority")
+    arr = top.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("priority", "ts", "event_id", "user_id"))
+        ).alias("a")
+    )
+    return arr.select(F.posexplode("a").alias("i", "s")).select(
+        (F.col("i") + 1).alias("grank"), "s.user_id", "s.event_id", "s.priority"
     )
 
 
@@ -941,15 +957,78 @@ def _q_quality_score(spark, sf_dir):
     )
 
 
+_quality_sql = f"""CAST(least({_ntok_sql}, 400) * 1250
+                    + least(floor((length(text) - ({_ntok_sql} - 1)) * 37500 / {_ntok_sql}), 300000)
+                    + least(floor(({_stop_sql}) * 1000000 / {_ntok_sql}), 200000) AS BIGINT)"""
+
 _register(
     "quality_score",
     _q_quality_score,
     f"""SELECT doc_id, {_ntok_sql} AS n_tokens,
                CAST(floor(({_stop_sql}) * 1000000 / {_ntok_sql}) AS BIGINT) AS stop_ratio_micro,
-               CAST(least({_ntok_sql}, 400) * 1250
-                    + least(floor((length(text) - ({_ntok_sql} - 1)) * 37500 / {_ntok_sql}), 300000)
-                    + least(floor(({_stop_sql}) * 1000000 / {_ntok_sql}), 200000) AS BIGINT) AS quality_micro
+               {_quality_sql} AS quality_micro
         FROM documents""",
+)
+
+
+def _q_token_count_bpe(spark, sf_dir):
+    """BPE-style pre-tokenizer count (alpha runs / digit runs / single
+    punctuation) — the training-cost estimator where whitespace counts
+    undercount code- and punctuation-heavy docs."""
+    from crawlspark.operators.textops import token_count, token_count_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_bpe("text").alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+    )
+
+
+_register(
+    "token_count_bpe",
+    _q_token_count_bpe,
+    f"""SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+               {_ntok_sql} AS n_ws_tokens
+        FROM documents""",
+)
+
+
+_Q_THRESH = 340_000
+
+
+def _q_training_corpus_select(spark, sf_dir):
+    """The end-to-end training-data selection pipeline in one plan:
+    near-dup removal (MinHash-LSH candidates → exact Jaccard verify →
+    greedy keepers), language filter, quality threshold, then the token
+    count that prices the surviving corpus. Composition of dedup_keepers
+    ∘ lang_id ∘ quality_score ∘ token_count — what a user actually runs
+    before a training job."""
+    from crawlspark.operators.dedup import lsh_dedup_keepers
+    from crawlspark.operators.textops import lang_id, quality_micro, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = lsh_dedup_keepers(
+        docs, num_hashes=_MH_N, band_size=_MH_BAND, k=_MH_K, threshold=_J_THRESH,
+    )
+    return (
+        docs.join(keep, "doc_id", "left_semi")
+        .where(lang_id(F.col("text")) == "en")
+        .where(quality_micro("text") >= _Q_THRESH)
+        .select("doc_id", token_count("text").alias("n_tokens"))
+    )
+
+
+_register(
+    "training_corpus_select",
+    _q_training_corpus_select,
+    f"""WITH {_verify_ctes}
+        SELECT doc_id, {_ntok_sql} AS n_tokens
+        FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM ver)
+          AND ({_lang_case}) = 'en'
+          AND {_quality_sql} >= {_Q_THRESH}""",
 )
 
 

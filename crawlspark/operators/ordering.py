@@ -67,18 +67,10 @@ def distinct_commits(df: DataFrame, ts_col: str = "commit_ts") -> DataFrame:
 def commit_budget_cutoff(df: DataFrame, remaining: int, ts_col: str = "commit_ts") -> DataFrame:
     """Keep only the first ``remaining`` whole commits of the global
     commit order — a commit is never split (Downloader.cs:137-146).
-    dense_rank over an un-partitioned window funnels through one task,
-    which is fine because it ranks *commits* (minutes), not rows; at
-    scale rank the distinct commit set (tiny) and semi-join it back."""
-    commits = (
-        df.select(ts_col).distinct()
-        # constant partition key: the commit set is tiny by design, and a
-        # defined partition spec keeps WindowExec off the all-data-to-one-
-        # partition warning path
-        .withColumn("__rank", F.dense_rank().over(Window.partitionBy(F.lit(1)).orderBy(ts_col)))
-        .where(F.col("__rank") <= remaining)
-        .drop("__rank")
-    )
+    The first N distinct commit timestamps are an ordered limit
+    (TakeOrderedAndProject: per-partition heaps + driver merge, no
+    single-partition window), semi-joined back against the rows."""
+    commits = df.select(ts_col).distinct().orderBy(ts_col).limit(remaining)
     return df.join(F.broadcast(commits), ts_col, "left_semi")
 
 

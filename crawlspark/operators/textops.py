@@ -37,6 +37,22 @@ def token_count(text: Column | str) -> Column:
     return (F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit(""))) + 1).cast("long")
 
 
+# BPE-style pre-tokenization (the GPT-2 pre-tokenizer's shape without
+# byte-level merges): alphabetic runs, digit runs, and single
+# punctuation marks each count as one token. Spaces only as separators
+# — [^...0-9 ] instead of \s keeps Java-regex and RE2/DuckDB semantics
+# byte-identical for the oracle.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """Subword-ish token count via the BPE pre-tokenizer regex — the
+    training-cost estimator (whitespace ``token_count`` underestimates
+    code/punctuation-heavy docs). Pure JVM regexp, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
+
+
 def occurrences(text: Column | str, token: str) -> Column:
     """Count occurrences of ``' token '`` in ``' text '`` (word-bounded)."""
     padded = F.concat(F.lit(" "), F.col(text) if isinstance(text, str) else text, F.lit(" "))

@@ -63,7 +63,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from crawlspark.functions.extract import extract_page_udf, extract_text_udf
@@ -604,9 +604,19 @@ def catalog_crawl(
     # derived time-bucket key with the exact range predicate as residual
     # — O(1) per leaf at any page count, where the naive theta join is a
     # BroadcastNestedLoopJoin evaluating O(#pages) predicates per leaf.
-    w_idx = Window.partitionBy(F.lit(1)).orderBy("page_ts", "page_no")  # index is tiny by design
-    bounds = index.select("page_no", "page_ts").withColumn(
-        "prev_ts", F.coalesce(F.lag("page_ts").over(w_idx), F.lit(EPOCH_MIN))
+    # index is tiny by design → one sorted array of (page_ts, page_no);
+    # posexplode + element_at derive each page's predecessor bound
+    # without a single-partition window node (Catalyst folds a
+    # constant partitionBy to an empty spec and WindowExec warns)
+    idx_arr = index.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("page_ts", "page_no"))).alias("a")
+    )
+    bounds = idx_arr.select(F.col("a"), F.posexplode("a").alias("i", "s")).select(
+        F.col("s.page_no").alias("page_no"),
+        F.col("s.page_ts").alias("page_ts"),
+        F.when(F.col("i") == 0, F.lit(EPOCH_MIN))
+        .otherwise(F.element_at("a", F.col("i"))["page_ts"])
+        .alias("prev_ts"),
     )
     leaves = (
         bucketed_interval_join(pages, bounds, ts_col="warc_ts")

@@ -49,3 +49,24 @@ def test_word_shingles_match_python(spark, text, k):
         else [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
     )
     assert list(got) == exp
+
+
+MIXED_WORD = st.text(alphabet="ab3.,!x9-", min_size=1, max_size=8)
+MIXED_TEXTS = st.lists(MIXED_WORD, min_size=1, max_size=20).map(" ".join)
+
+
+@given(texts=st.lists(MIXED_TEXTS, min_size=1, max_size=6))
+@PROP_SETTINGS
+def test_token_count_bpe_matches_python(spark, texts):
+    import re
+
+    from crawlspark.operators.textops import BPE_TOKEN_RE, token_count_bpe
+
+    df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", token_count_bpe("text").alias("n")).collect()
+    }
+    pat = re.compile(BPE_TOKEN_RE)
+    for i, t in enumerate(texts):
+        assert got[i] == len(pat.findall(t)), repr(t)
