@@ -84,11 +84,32 @@ def run_queries() -> dict[str, float]:
     return timings
 
 
+# The sandbox shares its host with unrelated neighbors: load averages of
+# 7+ appear with ZERO processes visible in this container, and identical
+# crawl runs swing 25k-46k urls/s with the storm. Before each timed run,
+# wait (bounded by a shared budget) for the 1-minute load to calm; the
+# observed load is recorded per run so the report shows which samples
+# were storm-affected. This gates WHEN we measure, never WHAT.
+_QUIET_LOAD = float(os.environ.get("CRAWLSPARK_BENCH_QUIET_LOAD", "2.5"))
+_QUIET_BUDGET = [float(os.environ.get("CRAWLSPARK_BENCH_QUIET_BUDGET_SEC", "600"))]
+
+
+def _wait_quiet() -> float:
+    while _QUIET_BUDGET[0] > 0:
+        load1 = os.getloadavg()[0]
+        if load1 < _QUIET_LOAD:
+            return load1
+        time.sleep(15)
+        _QUIET_BUDGET[0] -= 15
+    return os.getloadavg()[0]
+
+
 def _run_level(corpus: str, workdir: str, cpus: int, tag: str, gen: bool) -> dict:
     """One pinned crawl run. taskset constrains the whole process tree
     (JVM + python workers) to exactly `cpus` cores — local[N] alone only
     caps task threads, letting workers spill onto all cores and
     invalidating the comparison."""
+    load1 = _wait_quiet()
     pin = f"0-{cpus - 1}"
     cmd = [
         "taskset", "-c", pin, sys.executable, "-m", "crawlspark.bench_crawl",
@@ -111,7 +132,9 @@ def _run_level(corpus: str, workdir: str, cpus: int, tag: str, gen: bool) -> dic
     line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
     if not line:
         raise RuntimeError(f"crawl bench local[{cpus}] failed:\n{proc.stderr[-2000:]}")
-    return json.loads(line[-1])
+    out = json.loads(line[-1])
+    out["load1_before"] = round(load1, 2)
+    return out
 
 
 def _pair_eff(best: dict[str, dict], lo_n: int, hi_n: int) -> tuple[float, float]:
@@ -153,6 +176,7 @@ def run_crawl_scaling(workdir: str) -> dict:
     for n in CRAWL_LEVELS:
         out[f"urls_per_sec_local{n}"] = best[str(n)]["urls_per_sec"]
         out[f"wall_sec_local{n}"] = best[str(n)]["wall_sec"]
+        out[f"load1_local{n}"] = best[str(n)].get("load1_before")
     if len(CRAWL_LEVELS) >= 3:
         sp2, eff2 = _pair_eff(best, CRAWL_LEVELS[1], CRAWL_LEVELS[2])
         out["speedup_saturated_pair"] = sp2
@@ -179,8 +203,12 @@ def write_bench_md(crawl: dict, queries: dict[str, float]) -> None:
         "pinned with taskset; best-of-N per level with N matched to each",
         f"level's observed run-to-run noise ({', '.join(f'local[{n}]: {CRAWL_LEVEL_REPEATS.get(n, CRAWL_REPEATS)}' for n in CRAWL_LEVELS)};",
         "min-wall is the least-biased estimator since shared-box noise only",
-        "adds time, and it is applied at BOTH criterion levels); shuffle +",
-        "crawl state on tmpfs (one shared 550 MB/s",
+        "adds time, and it is applied at BOTH criterion levels); each timed",
+        "run additionally waits (bounded budget) for the host 1-min load to",
+        f"drop below {_QUIET_LOAD} — neighbor VMs push loadavg past 7 with zero",
+        "processes visible in this container, swinging identical runs ~2x;",
+        "the pre-run load of every best sample is recorded in the JSON;",
+        "shuffle + crawl state on tmpfs (one shared 550 MB/s",
         "virtio disk is not a model of per-node cluster storage).",
         "",
         "## Crawl scaling (the BASELINE.json criterion: N→4N efficiency >= 0.8)",

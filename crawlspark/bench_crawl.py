@@ -69,6 +69,13 @@ def main() -> None:
             # dir so sequential subprocess runs never fight over locks
             "spark.sql.warehouse.dir": os.path.join(args.corpus, "warehouse"),
             "spark.driver.extraJavaOptions": f"-Dderby.system.home={args.state}_derby",
+            # tuning overrides for A/B experiments, e.g.
+            # CRAWLSPARK_EXTRA_CONF="spark.io.compression.codec=zstd;k=v"
+            **dict(
+                kv.split("=", 1)
+                for kv in os.environ.get("CRAWLSPARK_EXTRA_CONF", "").split(";")
+                if "=" in kv
+            ),
         },
     )
 

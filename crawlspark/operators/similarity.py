@@ -318,21 +318,41 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 6,
+    n_tables: int = 4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via bucketed self-join:
-    (id_a, id_b, cos_sim) with cos_sim >= threshold, id_a < id_b."""
+    """Embedding-cosine near-duplicate pairs via multi-table bucketed
+    self-join: (id_a, id_b, cos_sim) with cos_sim >= threshold,
+    id_a < id_b. Same scale shape as ``lsh_cosine_topk_multi``:
+    ``n_tables`` independent plane sets multiply recall, candidate pairs
+    are DEDUPED across tables before the exact cosine verify, and
+    ``max_bucket_size`` drops degenerate hot buckets (all-identical
+    embeddings belong to exact dedup) so no join task goes quadratic."""
     b = df.select(
         F.col(id_col), F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        F.explode(_bucket_keys(F.col(vec_col), n_planes, n_tables)).alias("kb"),
+    ).select(
+        id_col, vec_col,
+        F.col("kb.table").alias("table"), F.col("kb.bucket").alias("bucket"),
     )
+    if max_bucket_size is not None:
+        sizes = b.groupBy("table", "bucket").agg(F.count("*").alias("__n"))
+        b = b.join(
+            sizes.where(F.col("__n") <= max_bucket_size), ["table", "bucket"], "left_semi"
+        )
     x, y = b.alias("x"), b.alias("y")
-    return (
-        x.join(y, "bucket")
+    cand = (
+        x.join(y, ["table", "bucket"])
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"),
-            F.col(f"y.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6).alias("cos_sim"),
+        .groupBy(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )  # dedupe across tables before the expensive array math
+        .agg(F.first(f"x.{vec_col}").alias("va"), F.first(f"y.{vec_col}").alias("vb"))
+    )
+    return (
+        cand.select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -192,3 +192,22 @@ def test_ivf_fit_is_deterministic(spark):
                                      n_centroids=8, n_probe=8, n_iters=2,
                                      sample_size=256).collect()}
     assert full == exact
+
+
+def test_embedding_near_dups_bucket_cap_and_multitable(spark):
+    """Degenerate corpus (300 identical vectors) + a few genuine near-dup
+    pairs: the cap drops the identical block (exact dedup's job), the
+    multi-table join still recovers the planted pairs."""
+    rng = np.random.RandomState(5)
+    pair_base = rng.randn(10, 12)
+    planted = np.concatenate([pair_base, pair_base + rng.randn(10, 12) * 0.01])
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(planted)]
+    rows += [Row(vec_id=1000 + i, embedding=[1.0] * 12) for i in range(300)]
+    df = spark.createDataFrame(rows)
+    got = embedding_near_dups(
+        df, threshold=0.95, n_planes=6, n_tables=4, max_bucket_size=100
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in got}
+    # every planted near-dup pair recovered, identical block absent
+    assert {(i, i + 10) for i in range(10)} <= ids
+    assert all(a < 1000 and b < 1000 for a, b in ids)

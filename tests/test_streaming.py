@@ -110,3 +110,45 @@ def test_stateful_sessionize_incremental_equals_batch(spark, tmp_path):
         .count().where("count > 1").count()
     )
     assert spanning > 0
+
+
+def test_stream_exact_dedup_incremental_never_reemits(spark, tmp_path):
+    """Ingest-time exact dedup: two availableNow runs over a growing doc
+    log (second batch re-sends half of the first batch's contents plus
+    new ones) emit exactly one doc per distinct fingerprint, and the
+    emitted fingerprint set equals the batch-dedup distinct set."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from crawlspark.operators.dedup import exact_dedup
+    from crawlspark.streaming.dedup import read_deduped, stream_exact_dedup
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    texts1 = [f"doc body {i % 8}" for i in range(20)]       # 8 distinct
+    spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts1)]
+    ).write.mode("overwrite").parquet(docs_dir)
+    q = stream_exact_dedup(spark, docs_dir, ckpt, out_dir)
+    q.awaitTermination(120)
+    first = read_deduped(spark, out_dir).collect()
+    assert len(first) == 8
+
+    # second delivery: 4 repeated contents + 3 genuinely new
+    texts2 = [f"doc body {i % 8}" for i in range(4)] + [f"fresh {j}" for j in range(3)]
+    spark.createDataFrame(
+        [Row(doc_id=100 + i, text=t) for i, t in enumerate(texts2)]
+    ).write.mode("append").parquet(docs_dir)
+    q = stream_exact_dedup(spark, docs_dir, ckpt, out_dir)
+    q.awaitTermination(120)
+
+    got = read_deduped(spark, out_dir).collect()
+    assert len(got) == 11  # 8 + 3, repeats never re-emitted
+    all_texts = texts1 + texts2
+    exp_fps = {hashlib.md5(t.lower().encode()).hexdigest() for t in all_texts}
+    assert {r["fp"] for r in got} == exp_fps
+    # ...and equals the batch operator's distinct clusters
+    batch = exact_dedup(spark.read.parquet(docs_dir)).collect()
+    assert {r["text_hash"] for r in batch} == {r["fp"] for r in got}
