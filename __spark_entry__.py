@@ -1080,6 +1080,35 @@ def _q_embedding_ivf_topk(spark, sf_dir):
 _register("embedding_ivf_topk", _q_embedding_ivf_topk, None)
 
 
+def _q_stream_dedup_mini(spark, sf_dir):
+    """Structured Streaming surfaced in the query contract: one
+    availableNow run of the checkpointed ingest dedup
+    (streaming/dedup.py — dropDuplicates on content fingerprint) over
+    the documents table in a fresh workdir, returning the emitted
+    first-seen (doc_id, fp) rows. Rows-only: streaming state isn't
+    SQL-expressible; the batch twin ``dedup_exact`` carries the exact
+    oracle and tests/test_streaming.py pins the never-reemit contract."""
+    import tempfile
+
+    from crawlspark.streaming.dedup import read_deduped, stream_exact_dedup
+
+    work = tempfile.mkdtemp(prefix="streamdedup")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(in_dir, "documents.parquet"),
+    )
+    q = stream_exact_dedup(
+        spark, in_dir, os.path.join(work, "ckpt"), os.path.join(work, "out")
+    )
+    q.awaitTermination(300)
+    return read_deduped(spark, os.path.join(work, "out"))
+
+
+_register("stream_dedup_mini", _q_stream_dedup_mini, None)
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from crawlspark.operators.dedup import simhash_pairs
 
