@@ -890,6 +890,44 @@ _register(
 )
 
 
+# shared SQL fragment (valid in BOTH Spark SQL and DuckDB) building a
+# JSON column with three whitespace shapes: spaced-unindented,
+# head-indented, compact — exercises the O3 rewrite gate end-to-end
+_JSON_SHAPES = """CASE doc_id % 3
+    WHEN 0 THEN '{ "doc_id": ' || doc_id || ', "lang": "' || lang || '" }'
+    WHEN 1 THEN '{' || chr(10) || '  "doc_id": ' || doc_id || chr(10) || '}'
+    ELSE '{"doc_id":' || doc_id || ',"src":"' || source || '"}'
+END"""
+
+
+def _q_json_rewrite(spark, sf_dir):
+    """O3 JSON rewrite modes (JsonFileHelper.cs:47-89): minify every doc
+    (Formatting.None analog — byte-equal to DuckDB's yyjson
+    re-serialization) and report the reference's first-4-chars
+    indentation probe (JsonFileHelper.cs:55-61). Pretty modes are
+    pinned by tests/test_jsonfmt.py goldens (DuckDB cannot indent)."""
+    from crawlspark.operators.jsonfmt import is_indented, rewrite_json
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_JSON_SHAPES).alias("j")
+    )
+    return rewrite_json(docs, "j", mode="minify").select(
+        "doc_id",
+        F.col("j_fmt"),
+        is_indented(F.col("j")).alias("was_indented"),
+    )
+
+
+_register(
+    "json_rewrite",
+    _q_json_rewrite,
+    f"""SELECT doc_id,
+               json_extract(j::JSON, '$')::VARCHAR AS j_fmt,
+               regexp_matches(substring(j, 1, 4), '^[{{\\[][\\r\\n]+ +') AS was_indented
+        FROM (SELECT doc_id, {_JSON_SHAPES} AS j FROM documents)""",
+)
+
+
 def _q_lang_id(spark, sf_dir):
     from crawlspark.operators.textops import lang_id
 
