@@ -1070,6 +1070,66 @@ _register(
 )
 
 
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_STRAT_RATES = {"de": 1.0, "en": 0.5}
+_STRAT_DEFAULT = 0.25
+
+
+def _q_hash_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.py):
+    membership is a pure function of md5(seed ':' doc_id) — stable
+    under repartitioning, re-runs, and engine choice. One codegen'd
+    CASE ladder of fixed-width hex string compares; no shuffle."""
+    from crawlspark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", _SPLITS, seed="42").select("doc_id", "split")
+
+
+_register(
+    "hash_split_assign",
+    _q_hash_split_assign,
+    None,  # filled below from the shared SQL builder
+)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Per-language quota sampling: keep all de, half of en, a quarter
+    of the rest — the standard language-rebalancing step before
+    training. Single filter, key-hash membership, no shuffle."""
+    from crawlspark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", _STRAT_RATES, default_rate=_STRAT_DEFAULT, seed="q"
+    ).select("doc_id", "lang")
+
+
+def _sampling_oracles() -> None:
+    from crawlspark.operators.sampling import (
+        _threshold_hex,
+        hash_draw_sql,
+        hash_split_sql,
+    )
+
+    _ORACLES["hash_split_assign"] = (
+        f"SELECT doc_id, {hash_split_sql('doc_id', _SPLITS, seed='42')} AS split "
+        "FROM documents"
+    )
+    draw = hash_draw_sql("doc_id", seed="q")
+    cases = " ".join(
+        f"WHEN '{v}' THEN '{_threshold_hex(r)}'" for v, r in _STRAT_RATES.items()
+    )
+    _ORACLES["stratified_sample"] = (
+        f"SELECT doc_id, lang FROM documents "
+        f"WHERE {draw} < CASE lang {cases} ELSE '{_threshold_hex(_STRAT_DEFAULT)}' END"
+    )
+
+
+_register("stratified_sample", _q_stratified_sample, None)
+_sampling_oracles()
+
+
 def _q_fingerprint(spark, sf_dir):
     from crawlspark.operators.textops import fingerprint
 
