@@ -49,3 +49,29 @@ def test_media_stats_rollup(spark):
 def test_real_decode_is_clearly_stubbed():
     with pytest.raises(NotImplementedError):
         real_decode_image(b"\x89PNG...")
+
+
+def test_resize_caps_long_side_and_is_decodable(spark):
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators.multimodal import resize_media
+
+    media = build_media_table(spark, 24)
+    out = resize_media(media, max_dim=16)
+    # the resized payload re-enters the same decode path
+    redecoded = decode_media(
+        out.select("media_id", "kind", F.col("resized").alias("payload"))
+    )
+    orig = {r["media_id"]: r for r in decode_media(media).collect()}
+    for r in redecoded.collect():
+        assert max(r["width"], r["height"]) <= 16
+        o = orig[r["media_id"]]
+        if max(o["width"], o["height"]) > 16:  # actually shrunk: aspect kept
+            scale = max(o["width"], o["height"]) / 16
+            assert r["width"] == max(int(o["width"] / scale), 1)
+            assert r["height"] == max(int(o["height"] / scale), 1)
+            assert r["n_bytes"] <= o["n_bytes"]
+    # deterministic
+    a = sorted((r["media_id"], bytes(r["resized"])) for r in out.collect())
+    b = sorted((r["media_id"], bytes(r["resized"])) for r in resize_media(media, 16).collect())
+    assert a == b
