@@ -1139,6 +1139,52 @@ def _q_fingerprint(spark, sf_dir):
 
 _register("fingerprint", _q_fingerprint, "SELECT doc_id, md5(lower(text)) AS fp FROM documents")
 
+_WIN_K, _WIN_W, _WIN_SHARED, _WIN_CAP = 8, 4, 2, 50
+
+
+def _q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing k-gram fingerprints (MOSS rolling-hash selection,
+    textops.winnow_fingerprints): the local-overlap primitive — any
+    shared substring of length >= k+w-1 guarantees a shared selected
+    fingerprint. Pure transform/slice/array_min column exprs."""
+    from crawlspark.operators.textops import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
+
+
+def _q_winnow_overlap(spark, sf_dir):
+    """Partial-overlap pairs by shared winnowing fingerprints
+    (dedup.winnow_overlap_pairs): catches quoted/contained passages that
+    whole-doc MinHash misses. Equi-join on fp (LSH plan shape) with the
+    bucket cap engaged — the synthetic corpus shares template grams
+    across ~2/3 of all docs, the exact degenerate case the cap-and-
+    spill guardrail bounds at web scale."""
+    from crawlspark.operators.dedup import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs, k=_WIN_K, w=_WIN_W, min_shared=_WIN_SHARED, max_bucket_size=_WIN_CAP
+    )
+
+
+def _winnow_oracles() -> None:
+    from crawlspark.operators.textops import winnow_fingerprints_sql
+
+    fp_sql = winnow_fingerprints_sql(k=_WIN_K, w=_WIN_W)
+    _ORACLES["winnow_fingerprint"] = fp_sql
+    _ORACLES["winnow_overlap"] = f"""WITH fps0 AS ({fp_sql}),
+        fps AS (SELECT * FROM fps0 WHERE fp IN
+                (SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= {_WIN_CAP}))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {_WIN_SHARED}"""
+
+
+_register("winnow_fingerprint", _q_winnow_fingerprint, None)
+_register("winnow_overlap", _q_winnow_overlap, None)
+_winnow_oracles()
+
 
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible ops (driver records rows-only checks)

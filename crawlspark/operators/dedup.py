@@ -249,3 +249,35 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                         k: int = 8, w: int = 4, min_shared: int = 2,
+                         max_bucket_size: int | None = None) -> DataFrame:
+    """Partial-overlap pairs by shared winnowing fingerprints
+    (textops.winnow_fingerprints): docs sharing >= ``min_shared``
+    selected k-gram fingerprints. Catches LOCAL overlap — a quoted
+    paragraph, boilerplate header, containment — where whole-document
+    MinHash/SimHash similarity stays near zero.
+
+    Plan shape is the LSH pattern: equi-join on the fingerprint hash
+    (never all-pairs), group-count per pair, filter. ``max_bucket_size``
+    caps ubiquitous fingerprints (site-wide boilerplate grams collide
+    millions of docs into one bucket; cap-and-spill keeps the join
+    linear — same guardrail as minhash_lsh_pairs/simhash_pairs)."""
+    from crawlspark.operators.textops import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    if max_bucket_size is not None:
+        sizes = fps.groupBy("fp").agg(F.count("*").alias("__n"))
+        fps = fps.join(sizes.where(F.col("__n") <= max_bucket_size), ["fp"], "left_semi")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

@@ -137,6 +137,66 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.lower(c))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): hash
+    every k-char gram of the lowercased text (the rolling-hash pass —
+    md5 of each window keeps it byte-identical across engines), then
+    keep the minimum hash of every window of ``w`` consecutive grams.
+    Guarantees: any shared substring of length >= k+w-1 yields at least
+    one shared selected fingerprint, so LOCAL overlap (quotes,
+    containment, partial plagiarism) is caught — which whole-document
+    MinHash/SimHash signatures miss by design.
+
+    Output: (id, fp) — the doc's distinct selected fingerprints,
+    exploded. Pure column expressions (transform/sequence/slice/
+    array_min), no UDF, no shuffle; docs shorter than ``k`` contribute
+    their single whole-text gram.
+    """
+    c = F.lower(F.col(text_col))
+    n_grams = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.md5(F.substring(c, i, k))
+    )
+    # grams MUST materialize once per row: stage it in its own projection
+    # and reference it twice downstream (size + slice) so CollapseProject
+    # cannot inline the O(n) md5 transform into every window lambda —
+    # inlined, the plan degrades to O(n²·k) hashing per row.
+    g = F.col("__grams")
+    n_wins = F.greatest(F.size(g) - F.lit(w - 1), F.lit(1))
+    sels = F.transform(
+        F.sequence(F.lit(1), n_wins), lambda j: F.array_min(F.slice(g, j, w))
+    )
+    return df.select(F.col(id_col), grams.alias("__grams")).select(
+        F.col(id_col), F.explode(F.array_distinct(sels)).alias("fp")
+    )
+
+
+def winnow_fingerprints_sql(
+    id_col: str = "doc_id", text_col: str = "text", *, k: int = 8, w: int = 4,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (list lambdas mirror
+    transform/slice/array_min 1:1)."""
+    c = f"lower({text_col})"
+    n_grams = f"greatest(length({c}) - {k - 1}, 1)"
+    grams = f"list_transform(range(1, {n_grams} + 1), i -> md5(substring({c}, i, {k})))"
+    sels = (
+        f"list_transform(range(1, greatest(len(g) - {w - 1}, 1) + 1), "
+        f"j -> list_min(list_slice(g, j, j + {w - 1})))"
+    )
+    return (
+        f"SELECT {id_col}, unnest(list_distinct({sels})) AS fp "
+        f"FROM (SELECT {id_col}, {grams} AS g FROM {table})"
+    )
+
+
 def _nibble_val(ch: Column) -> Column:
     a = F.ascii(ch)
     return F.when(a >= 97, a - 87).otherwise(a - 48)
