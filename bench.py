@@ -52,7 +52,7 @@ CRAWL_REPEATS = int(os.environ.get("CRAWLSPARK_BENCH_REPEATS", "2"))
 # so min(wall) is the least-biased estimate of the plan's true cost —
 # and it is applied at BOTH criterion levels (a faster local[2] sample
 # lowers the reported efficiency, so best-of does not game the metric).
-CRAWL_LEVEL_REPEATS = {2: CRAWL_REPEATS, 8: max(CRAWL_REPEATS, 5), 32: max(CRAWL_REPEATS, 3)}
+CRAWL_LEVEL_REPEATS = {2: max(CRAWL_REPEATS, 4), 8: max(CRAWL_REPEATS, 5), 32: max(CRAWL_REPEATS, 3)}
 # Three levels, two N→4N pairs. 2→8 is the criterion pair: at low core
 # counts each thread still gets its share of the socket's L3/memory
 # bandwidth, which is what adding NODES to a real cluster preserves.

@@ -452,13 +452,25 @@ def web_crawl(
                 F.col("s.discovery_ts").alias("discovery_ts"),
                 F.col("s.attempts").alias("attempts"),
             )
-            .join(base.where(F.col("status") != "retry").select("url"), "url", "left_anti")
+            .join(
+                base.where(F.col("status") != "retry").select("url").hint("SHUFFLE_HASH"),
+                "url", "left_anti",
+            )
         )
         if not bloom_active and total_final > 0:
             # exact path: remaining/retries are unseen by the frontier
             # invariant, so this is a no-op for them; links to seen urls
             # drop here. Runs on the deduped set, post-shuffle.
-            next_frontier = next_frontier.join(state.seen_urls(spark), "url", "left_anti")
+            # SHUFFLE_HASH (here and on the finals anti-join above):
+            # catalyst would pick broadcast for a sub-threshold seen
+            # side, but building a 10^5-10^6-url hashed relation is
+            # SERIAL driver work — a per-epoch constant that anti-scales
+            # (same reason the large fetch join avoids broadcast). The
+            # left side is already url-partitioned by the groupBy, so
+            # only the small right side shuffles, fully parallel.
+            next_frontier = next_frontier.join(
+                state.seen_urls(spark).hint("SHUFFLE_HASH"), "url", "left_anti"
+            )
 
         # 6. ONE write action stages BOTH tables: fetched rows and next
         #    frontier union under a discriminator column, partitionBy
