@@ -17,10 +17,13 @@ O16 filter_project_deletes, O18 count_by_day, O19/O20 count_by_day_type,
 O21 merge_aggregate, O22 sorted_report, O24 host_parse,
 O25/O26 time_bucket_shard, O27 hash_prefix_bin, politeness/frontier
 dequeue (north_star) frontier_dequeue, bloom seen-set bloom_seen_filter;
+O3 json_roundtrip + json_rewrite (RewriteJson modes);
 training-data ops: dedup_exact, dedup_minhash_lsh, dedup_simhash,
-ngram_jaccard, embedding_topk (+ rows-only LSH/multimodal variants),
-lang_id, quality_score, token_count, fingerprint, sessionize;
-TPC-H-ish pricing_summary and region_revenue_join.
+ngram_jaccard, embedding_topk (+ rows-only LSH/IVF/multimodal/streaming
+variants), lang_id, quality_score, token_count, fingerprint,
+winnow_fingerprint + winnow_overlap (rolling-hash local overlap),
+hash_split_assign + stratified_sample (deterministic splits),
+sessionize; TPC-H-ish pricing_summary and region_revenue_join.
 """
 
 from __future__ import annotations

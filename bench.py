@@ -91,7 +91,7 @@ def run_queries() -> dict[str, float]:
 # observed load is recorded per run so the report shows which samples
 # were storm-affected. This gates WHEN we measure, never WHAT.
 _QUIET_LOAD = float(os.environ.get("CRAWLSPARK_BENCH_QUIET_LOAD", "2.5"))
-_QUIET_BUDGET = [float(os.environ.get("CRAWLSPARK_BENCH_QUIET_BUDGET_SEC", "600"))]
+_QUIET_BUDGET = [float(os.environ.get("CRAWLSPARK_BENCH_QUIET_BUDGET_SEC", "900"))]
 
 
 def _wait_quiet() -> float:
@@ -245,16 +245,33 @@ def write_bench_md(crawl: dict, queries: dict[str, float]) -> None:
         "  join → Arrow → parquet encode; it sits between those controls,",
         "  and its 8→32 efficiency lands at the memory-contention ceiling.",
         "",
-        "At 2→8 cores each thread keeps its share of the socket's cache and",
-        "bandwidth — which is exactly what adding NODES preserves on a real",
-        "cluster — so that pair is the honest sandbox proxy for the N→4N",
-        "executor criterion. Plan-level scaling work that raised throughput",
-        "at EVERY level: ONE write action per epoch (fetched + frontier",
-        "staged from a single partitionBy pass; counts/lineage/cursor from",
-        "an Observation + parquet footers, zero standalone counts), the",
+        "At 2→8 cores each thread keeps more of its share of the socket's",
+        "cache and bandwidth — closer to what adding NODES preserves on a",
+        "real cluster — so that pair is the honest sandbox proxy for the",
+        "N→4N executor criterion, though a weaker form of the same",
+        "contention still applies: a register-bound pure-CPU control",
+        "scales 2→8 at ~0.95 on this box while the crawl (2 KB of page",
+        "bytes per URL through decode → join → Arrow → parquet encode)",
+        "measures 0.61-0.77 across bench invocations. The spread is",
+        "measurement noise, not plan variance: identical configs swing",
+        "~30% at local[2] within an hour on this shared host (neighbor",
+        "storms), and the per-level min keeps drifting down as repeats",
+        "accumulate — single invocations both over- and under-estimate.",
+        "A local-cluster[N,1,mem] run (true separate executor JVMs) was",
+        "also measured and is WORSE (eff ~0.42): per-executor shuffle and",
+        "serialization constants dominate at sandbox corpus scale.",
+        "",
+        "Plan-level scaling work that raised throughput at EVERY level:",
+        "ONE write action per epoch (fetched + frontier staged from a",
+        "single partitionBy pass; counts/lineage/cursor from an",
+        "Observation + parquet footers, zero standalone counts), the",
         "frontier invariant (no per-epoch seen-set pass over pending), a",
-        "cost-based seen-check (exact broadcast anti-join while the seen",
-        "set fits a broadcast, bloom shards + O(delta) folds beyond), and a",
+        "cost-based seen-check (exact anti-join while the seen set is",
+        "small — SHUFFLE_HASH-hinted so the seen side shuffles in",
+        "parallel instead of a serial driver-built broadcast relation —",
+        "bloom shards + O(delta) folds beyond), zstd shuffle/broadcast",
+        "compression (parallel cycles for fewer bytes through the",
+        "memory bus / cluster network; +15-17% at local[8] vs lz4), and a",
         "url-bucketed pages table so the fetch join never shuffles the huge",
         "side (SelectedBucketsCount in the plan; at 100 TB that shuffle is",
         "impossible anyway).",
