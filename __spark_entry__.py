@@ -1256,6 +1256,35 @@ def _q_stream_dedup_mini(spark, sf_dir):
 _register("stream_dedup_mini", _q_stream_dedup_mini, None)
 
 
+def _q_stream_sessionize_mini(spark, sf_dir):
+    """Custom stateful streaming operator surfaced in the query
+    contract: one availableNow run of the applyInPandasWithState
+    sessionizer (streaming/sessions.py — O(1) per-user state,
+    vectorized per-batch) over the events table in a fresh workdir.
+    Rows-only: streaming state isn't SQL-expressible; the batch twin
+    ``sessionize`` carries the exact oracle and
+    tests/test_streaming.py pins incremental == batch."""
+    import tempfile
+
+    from crawlspark.streaming.sessions import read_sessions, stream_sessionize
+
+    work = tempfile.mkdtemp(prefix="streamsess")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    q = stream_sessionize(
+        spark, in_dir, os.path.join(work, "ckpt"), os.path.join(work, "out")
+    )
+    q.awaitTermination(300)
+    return read_sessions(spark, os.path.join(work, "out"))
+
+
+_register("stream_sessionize_mini", _q_stream_sessionize_mini, None)
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from crawlspark.operators.dedup import simhash_pairs
 
