@@ -265,12 +265,23 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = 
     caps ubiquitous fingerprints (site-wide boilerplate grams collide
     millions of docs into one bucket; cap-and-spill keeps the join
     linear — same guardrail as minhash_lsh_pairs/simhash_pairs)."""
+    from pyspark.sql import Window
+
     from crawlspark.operators.textops import winnow_fingerprints
 
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
     if max_bucket_size is not None:
-        sizes = fps.groupBy("fp").agg(F.count("*").alias("__n"))
-        fps = fps.join(sizes.where(F.col("__n") <= max_bucket_size), ["fp"], "left_semi")
+        # count-window over fp partitions, NOT groupBy+semi-join: the
+        # cap then lives ABOVE the single fp-shuffle of the fingerprint
+        # relation, so the self-join's two sides share one exchange
+        # (ReusedExchange) and the O(n·k) gram hashing runs ONCE —
+        # the semi-join shape evaluated the winnow projection 4x.
+        n_in_bucket = F.count("*").over(Window.partitionBy("fp"))
+        fps = (
+            fps.withColumn("__n", n_in_bucket)
+            .where(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, "fp")
