@@ -44,15 +44,14 @@ HEADLINERS = [
 
 CRAWL_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "1200000"))
 CRAWL_REPEATS = int(os.environ.get("CRAWLSPARK_BENCH_REPEATS", "2"))
-# Per-level repeat overrides. Run-to-run noise on this shared box is
-# strongly level-dependent (local[8] walls have ranged 31-58 s for the
-# IDENTICAL binary+input across a session, while local[2] stays within
-# ~3%), so the noisy mid level gets more best-of samples. Best-of is
-# the right estimator here: scheduling noise only ever ADDS wall time,
-# so min(wall) is the least-biased estimate of the plan's true cost —
-# and it is applied at BOTH criterion levels (a faster local[2] sample
-# lowers the reported efficiency, so best-of does not game the metric).
-CRAWL_LEVEL_REPEATS = {2: max(CRAWL_REPEATS, 4), 8: max(CRAWL_REPEATS, 5), 32: max(CRAWL_REPEATS, 3)}
+# Per-level repeat overrides. Best-of is the right estimator here:
+# scheduling noise only ever ADDS wall time, so min(wall) is the
+# least-biased estimate of the plan's true cost. The two CRITERION
+# levels get EQUAL repeat counts — with a min-wall estimator, more
+# samples at the numerator level would systematically bias the reported
+# efficiency upward even when each level's noise floor is real — and
+# the saturated diagnostic level (32) gets its own (smaller) count.
+CRAWL_LEVEL_REPEATS = {2: max(CRAWL_REPEATS, 5), 8: max(CRAWL_REPEATS, 5), 32: max(CRAWL_REPEATS, 3)}
 # Three levels, two N→4N pairs. 2→8 is the criterion pair: at low core
 # counts each thread still gets its share of the socket's L3/memory
 # bandwidth, which is what adding NODES to a real cluster preserves.
@@ -200,9 +199,10 @@ def write_bench_md(crawl: dict, queries: dict[str, float]) -> None:
         "throughput = (URLs scheduled + fetched) / epoch-loop wall sec.",
         "Protocol: the IDENTICAL job (same plan, same partition counts, same",
         f"input, url-bucketed pages table) at {', '.join(str(n) for n in CRAWL_LEVELS)} cores, process trees",
-        "pinned with taskset; best-of-N per level with N matched to each",
-        f"level's observed run-to-run noise ({', '.join(f'local[{n}]: {CRAWL_LEVEL_REPEATS.get(n, CRAWL_REPEATS)}' for n in CRAWL_LEVELS)};",
-        "min-wall is the least-biased estimator since shared-box noise only",
+        "pinned with taskset; best-of-N per level with EQUAL N at the two",
+        f"criterion levels ({', '.join(f'local[{n}]: {CRAWL_LEVEL_REPEATS.get(n, CRAWL_REPEATS)}' for n in CRAWL_LEVELS)}; a min-wall",
+        "estimator with asymmetric samples would bias the efficiency;",
+        "min-wall itself is least-biased since shared-box noise only",
         "adds time, and it is applied at BOTH criterion levels); each timed",
         "run additionally waits (bounded budget) for the host 1-min load to",
         f"drop below {_QUIET_LOAD} — neighbor VMs push loadavg past 7 with zero",

@@ -107,9 +107,17 @@ def rewrite_json(
         return df.withColumns(
             {out_col: json_pretty_udf(c), flag_col: c.isNotNull()}
         )
-    # pretty_when_unindented: the JVM regexp gate keeps already-indented
-    # rows out of the Python path entirely
+    # pretty_when_unindented. Spark extracts Python UDFs out of CASE WHEN
+    # and evaluates them eagerly on every row, so a `F.when(needs,
+    # udf(c))` gate is ineffective: indented rows would still round-trip
+    # through Python, and an indented-but-INVALID document would raise
+    # inside the UDF where the reference's probe-then-skip never parses
+    # it (JsonFileHelper.cs:55-61). Split-and-union instead: only rows
+    # the JVM probe says need rewriting ever reach the UDF; probe-skipped
+    # rows are passed through verbatim, unparsed — exactly the reference.
     needs = c.isNotNull() & ~is_indented(c)
-    return df.withColumns(
-        {out_col: F.when(needs, json_pretty_udf(c)).otherwise(c), flag_col: needs}
+    rewritten = df.where(needs).withColumns(
+        {out_col: json_pretty_udf(c), flag_col: F.lit(True)}
     )
+    passed = df.where(~needs).withColumns({out_col: c, flag_col: F.lit(False)})
+    return rewritten.unionByName(passed)

@@ -69,8 +69,13 @@ def commit_budget_cutoff(df: DataFrame, remaining: int, ts_col: str = "commit_ts
     commit order — a commit is never split (Downloader.cs:137-146).
     The first N distinct commit timestamps are an ordered limit
     (TakeOrderedAndProject: per-partition heaps + driver merge, no
-    single-partition window), semi-joined back against the rows."""
-    commits = df.select(ts_col).distinct().orderBy(ts_col).limit(remaining)
+    single-partition window), semi-joined back against the rows.
+
+    ``remaining`` is clamped at 0: a driver computing
+    ``budget - consumed`` may go negative, and the total function
+    returns an empty frame there (the pre-r2 rank-filter behavior)
+    instead of raising inside ``limit``."""
+    commits = df.select(ts_col).distinct().orderBy(ts_col).limit(max(remaining, 0))
     return df.join(F.broadcast(commits), ts_col, "left_semi")
 
 

@@ -68,7 +68,11 @@ def hash_split(
 ) -> DataFrame:
     """Assign every row to exactly one named split (e.g. train/val/test)
     by consecutive threshold ranges of the key draw. Fractions must sum
-    to 1 (±1e-9); assignment is a CASE ladder of string compares."""
+    to 1 (±1e-9); assignment is a CASE ladder of string compares.
+
+    Rows with a NULL key get a NULL split (they have no draw) instead of
+    silently concentrating in the last-named split — filter or repair
+    null keys upstream if every row must land somewhere."""
     if abs(sum(splits.values()) - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {sum(splits.values())}")
     draw = hash_draw(key, seed)
@@ -79,11 +83,13 @@ def hash_split(
         cond = draw < F.lit(_threshold_hex(acc))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    expr = F.when(F.col(key).isNull(), F.lit(None).cast("string")).otherwise(expr)
     return df.withColumn(out_col, expr)
 
 
 def hash_split_sql(key: str, splits: dict[str, float], *, seed: str = "0") -> str:
-    """DuckDB CASE-ladder twin of :func:`hash_split`."""
+    """DuckDB CASE-ladder twin of :func:`hash_split` (incl. NULL-key →
+    NULL split)."""
     draw = hash_draw_sql(key, seed)
     parts, acc = [], 0.0
     names = list(splits)
@@ -91,7 +97,8 @@ def hash_split_sql(key: str, splits: dict[str, float], *, seed: str = "0") -> st
         acc += splits[name]
         parts.append(f"WHEN {draw} < '{_threshold_hex(acc)}' THEN '{name}'")
     body = " ".join(parts)
-    return f"CASE {body} ELSE '{names[-1]}' END" if parts else f"'{names[-1]}'"
+    inner = f"CASE {body} ELSE '{names[-1]}' END" if parts else f"'{names[-1]}'"
+    return f"CASE WHEN {key} IS NULL THEN NULL ELSE {inner} END"
 
 
 def stratified_sample(

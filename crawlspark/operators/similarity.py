@@ -319,15 +319,19 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 6,
     n_tables: int = 4,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table bucketed
     self-join: (id_a, id_b, cos_sim) with cos_sim >= threshold,
     id_a < id_b. Same scale shape as ``lsh_cosine_topk_multi``:
     ``n_tables`` independent plane sets multiply recall, candidate pairs
-    are DEDUPED across tables before the exact cosine verify, and
-    ``max_bucket_size`` drops degenerate hot buckets (all-identical
-    embeddings belong to exact dedup) so no join task goes quadratic."""
+    are DEDUPED across tables before the exact cosine verify.
+
+    ``max_bucket_size`` (default None = no cap, full recall) is the
+    opt-in scale lever: it drops degenerate hot buckets (all-identical
+    embeddings belong to exact dedup) so no join task goes quadratic —
+    at the explicit cost of losing pairs whose ONLY collisions are in
+    capped buckets. No silent caps: callers at 100 TB set it knowingly."""
     b = df.select(
         F.col(id_col), F.col(vec_col),
         F.explode(_bucket_keys(F.col(vec_col), n_planes, n_tables)).alias("kb"),

@@ -63,6 +63,19 @@ def test_pretty_when_unindented_gate_matches_reference_probe(spark):
     assert all(r.j_fmt_rewritten is False for r in again)
 
 
+def test_pretty_when_unindented_skips_indented_invalid_without_parsing(spark):
+    # The reference probes the head and returns false WITHOUT parsing
+    # (JsonFileHelper.cs:55-61): an indented-but-invalid document must
+    # pass through verbatim, not raise inside the rewrite UDF. This
+    # pins the split-union plan (probe-skipped rows never reach Python).
+    bad = '{\n  "a": oops not json'
+    out = rewrite_json(
+        _df(spark, DOCS + [bad]), "j", mode="pretty_when_unindented"
+    ).orderBy("i").collect()
+    row = out[len(DOCS)]
+    assert row.j_fmt == bad and row.j_fmt_rewritten is False
+
+
 def test_is_indented_column_is_jvm_side(spark):
     # the gate must stay a codegen'd expression — no Python eval node
     plan = (

@@ -131,3 +131,11 @@ def test_seen_filter_matches_exact_anti_join(spark):
     exact = {r["url"] for r in cand.join(seen, "url", "left_anti").collect()}
     bloom = {r["url"] for r in seen_filter(spark, cand, seen, use_bloom=True).collect()}
     assert bloom == exact
+
+
+def test_commit_budget_cutoff_negative_remaining_is_empty(spark):
+    # a driver computing budget - consumed can go negative; the total
+    # function returns an empty frame, it never raises (ADVICE r2)
+    df = spark.range(4).withColumnRenamed("id", "commit_ts")
+    assert commit_budget_cutoff(df, -1).count() == 0
+    assert commit_budget_cutoff(df, 0).count() == 0

@@ -93,3 +93,16 @@ def test_duckdb_expression_parity(spark, docs):
         ).fetchall()
     )
     assert draw_s == draw_d
+
+
+def test_hash_split_null_key_gets_null_split(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": pd.array([1, 2, None], dtype="Int64")})
+    )
+    out = {r.doc_id: r.split for r in hash_split(
+        df, "doc_id", {"train": 0.5, "test": 0.5}
+    ).collect()}
+    assert out[1] in {"train", "test"} and out[2] in {"train", "test"}
+    assert out[None] is None  # NULL key never lands in a named split
