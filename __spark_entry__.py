@@ -784,8 +784,12 @@ _register(
 def _q_ngram_jaccard(spark, sf_dir):
     from crawlspark.operators.dedup import ngram_jaccard_pairs
 
+    # max_id/threshold chosen so the check is NON-vacuous: at sf0.01
+    # (the driver's oracle scale) this finds 25 true near-dup pairs —
+    # an empty result set would pass the hash compare while exercising
+    # nothing (r2 verdict "What's wrong #2")
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, max_id=60, threshold=0.05
+        _t(spark, sf_dir, "documents"), k=3, max_id=500, threshold=0.2
     )
 
 
@@ -793,7 +797,7 @@ _register(
     "ngram_jaccard",
     _q_ngram_jaccard,
     f"""WITH sh AS (SELECT doc_id, unnest(list_distinct({_duck_shingles()})) AS s
-                    FROM documents WHERE doc_id < 60),
+                    FROM documents WHERE doc_id < 500),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
                       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -802,7 +806,7 @@ _register(
         FROM inter
         JOIN sizes na ON na.doc_id = id_a
         JOIN sizes nb ON nb.doc_id = id_b
-        WHERE round(i / (na.n + nb.n - i), 6) >= 0.05""",
+        WHERE round(i / (na.n + nb.n - i), 6) >= 0.2""",
 )
 
 
@@ -837,7 +841,10 @@ _register(
 def _q_embedding_near_dups_exact(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, exact brute-force variant
     (the correctness baseline for the LSH-bucketed embedding_near_dups
-    operator): all pairs with cos >= 0.9."""
+    operator): all pairs with cos >= 0.42. The synthetic embeddings are
+    near-uniform on the sphere (max pairwise cos ≈ 0.51 at sf0.01), so
+    the threshold sits in the observed tail: 34 pairs at sf0.01 — a
+    non-vacuous check (r2 verdict "What's wrong #2"); 0.9 found nothing."""
     from crawlspark.operators.similarity import cosine
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -849,7 +856,7 @@ def _q_embedding_near_dups_exact(spark, sf_dir):
             F.col("b.vec_id").alias("id_b"),
             F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
         )
-        .where(F.col("cos_sim") >= 0.9)
+        .where(F.col("cos_sim") >= 0.42)
     )
 
 
@@ -863,7 +870,7 @@ _register(
     _q_embedding_near_dups_exact,
     f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {_COS_AB} >= 0.9""",
+        WHERE {_COS_AB} >= 0.42""",
 )
 
 
@@ -1225,6 +1232,26 @@ def _q_embedding_ivf_topk(spark, sf_dir):
 
 
 _register("embedding_ivf_topk", _q_embedding_ivf_topk, None)
+
+
+def _q_embedding_near_dups_lsh(spark, sf_dir):
+    """Bucketed embedding near-dup pairs (similarity.py
+    embedding_near_dups) — the scale path whose correctness baseline is
+    the exact `embedding_near_dups_exact` query above. Approximate by
+    design (hyperplane bucketing misses some pairs), so rows-only here;
+    recall >= 0.9 vs the exact variant is pinned by
+    tests/test_similarity.py. Short plane sets (3) across many tables
+    (8) because the corpus tail sits near cos 0.42 — wide planes would
+    separate near-orthogonal pairs into different buckets."""
+    from crawlspark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        emb, threshold=0.42, n_planes=3, n_tables=8, max_bucket_size=100_000,
+    )
+
+
+_register("embedding_near_dups_lsh", _q_embedding_near_dups_lsh, None)
 
 
 def _q_stream_dedup_mini(spark, sf_dir):

@@ -211,3 +211,33 @@ def test_embedding_near_dups_bucket_cap_and_multitable(spark):
     # every planted near-dup pair recovered, identical block absent
     assert {(i, i + 10) for i in range(10)} <= ids
     assert all(a < 1000 and b < 1000 for a, b in ids)
+
+
+def test_embedding_near_dups_lsh_recall_vs_exact_on_real_corpus(spark):
+    """The registered rows-only query's config (3 planes × 8 tables)
+    must recover >= 0.9 of the exact brute-force pair set at its own
+    threshold on the ACTUAL sf0.001 embeddings — the corpus tail sits
+    near cos 0.42, much harder for hyperplane LSH than planted
+    0.95-dup clusters."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a, b = df.alias("a"), df.alias("b")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+        .where(F.col("c") >= 0.42)
+        .collect()
+    }
+    assert len(exact) > 0
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            df, threshold=0.42, n_planes=3, n_tables=8
+        ).collect()
+    }
+    assert got <= exact  # never a false positive (exact verify stage)
+    assert len(got & exact) / len(exact) >= 0.9
