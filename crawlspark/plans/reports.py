@@ -23,7 +23,7 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from crawlspark.operators.ordering import EPOCH_MIN
@@ -65,10 +65,14 @@ def page_count_by_day_kind(delta: DataFrame) -> DataFrame:
             F.count("*").alias("__total"),
         )
     )
-    bad = out.where(F.col("details") + F.col("deletes") != F.col("__total")).count()
-    if bad:
-        raise ValueError(f"unknown page kind in {bad} day groups (O20 invariant)")
-    return out.drop("__total")
+    # O20 totals invariant, enforced IN the plan (raise_error fires during
+    # the write job, before the stage swap — the reference throws during
+    # visiting, CatalogLeafCountByTypeReportUpdater.cs:30-36) instead of a
+    # standalone count action per update.
+    guarded = F.when(
+        F.col("details") + F.col("deletes") == F.col("__total"), F.col("details")
+    ).otherwise(F.raise_error("unknown page kind (O20 invariant)").cast("bigint"))
+    return out.withColumn("details", guarded).drop("__total")
 
 
 # -- incremental store -------------------------------------------------------
@@ -84,11 +88,23 @@ class ReportStore:
         return os.path.join(self.root, f"_cursor.{name}.json")
 
     def cursor(self, name: str) -> dt.datetime:
+        """Read-with-default (O29). For append reports the manifest is
+        the commit log: an update whose data landed but whose cursor
+        write was lost to a crash is repaired here (effective cursor =
+        max of the cursor file and every applied update's head), so a
+        replay neither re-appends those rows nor skips rows that arrived
+        after the crash."""
         p = self._meta_path(name)
-        if not os.path.exists(p):
-            return EPOCH_MIN  # read-with-default (O29)
-        with open(p) as f:
-            return dt.datetime.fromisoformat(json.load(f)["cursor"])
+        base = EPOCH_MIN
+        if os.path.exists(p):
+            with open(p) as f:
+                base = dt.datetime.fromisoformat(json.load(f)["cursor"])
+        applied = self._manifest(name)["applied"]
+        for head_iso in applied.values():
+            h = dt.datetime.fromisoformat(head_iso)
+            if h > base:
+                base = h
+        return base
 
     def _write_cursor(self, name: str, value: dt.datetime) -> None:
         tmp = self._meta_path(name) + ".tmp"
@@ -100,7 +116,9 @@ class ReportStore:
         p = os.path.join(self.root, f"{name}.parquet")
         if not os.path.exists(p):
             return None
-        return spark.read.parquet(p)
+        # recursive: append-style reports are a directory of per-update
+        # subdirs (u_<cursor>/part-*.parquet); aggregate reports stay flat
+        return spark.read.option("recursiveFileLookup", "true").parquet(p)
 
     def _overwrite(self, df: DataFrame, name: str, order_cols: list[str]) -> None:
         """Atomic read-merge-rewrite: stage, swap (the whole-file rewrite
@@ -145,12 +163,90 @@ class ReportStore:
         )
         self._overwrite(merged, name, key_cols)
 
-    def update_append(self, spark: SparkSession, name: str, delta: DataFrame, order_cols: list[str]) -> None:
-        """O17: append-style report (header-once CSV ≙ rewrite of the
-        union — cheap because append reports are tiny projections)."""
-        existing = self.read(spark, name)
-        merged = delta if existing is None else existing.unionByName(delta)
-        self._overwrite(merged, name, order_cols)
+    # -- true O(delta) append (O17) -----------------------------------------
+
+    def _manifest(self, name: str) -> dict:
+        p = os.path.join(self.root, f"_applied.{name}.json")
+        if not os.path.exists(p):
+            return {"applied": {}, "csv_len": 0}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, name: str, man: dict) -> None:
+        p = os.path.join(self.root, f"_applied.{name}.json")
+        with open(p + ".tmp", "w") as f:
+            json.dump(man, f)
+        os.replace(p + ".tmp", p)
+
+    def update_append(
+        self,
+        spark: SparkSession,
+        name: str,
+        delta: DataFrame,
+        order_cols: list[str],
+        update_key: str = "full",
+        head: str = "",
+    ) -> bool:
+        """O17: append-style report, cost O(delta) per update — the
+        reference APPENDS rows (CsvAppendReportVisitor.cs:20-41); the r2
+        union-and-rewrite grew without bound with history.
+
+        Layout: ``{name}.parquet/u_<update_key>/part-*.parquet`` — each
+        update adds ONE subdir (atomic rename), history is never
+        rewritten; readers get the union via recursive listing (at
+        cluster scale this is an Iceberg fast-append snapshot). The CSV
+        mirror is a single FILE appended in place, header-once, exactly
+        the reference's shape; a manifest records applied update keys +
+        the CSV byte length, so a crashed update replays idempotently
+        (same key → same subdir; a torn CSV tail is truncated back to
+        the last recorded length before re-appending)."""
+        man = self._manifest(name)
+        if update_key in man["applied"]:
+            return False  # crash-replay of a fully applied update: no-op
+        safe_key = "".join(ch if ch.isalnum() else "_" for ch in update_key)
+        final_dir = os.path.join(self.root, f"{name}.parquet")
+        sub = os.path.join(final_dir, f"u_{safe_key}")
+        stage = os.path.join(self.root, f"_stage.{name}.u")
+        delta.orderBy(*order_cols).write.mode("overwrite").parquet(stage)
+        os.makedirs(final_dir, exist_ok=True)
+        if os.path.exists(sub):  # torn previous attempt: replaced wholesale
+            shutil.rmtree(sub)
+        os.rename(stage, sub)
+        self._csv_append(spark, name, sub, order_cols, man)
+        man["applied"][update_key] = head
+        self._write_manifest(name, man)
+        return True
+
+    def _csv_append(
+        self, spark: SparkSession, name: str, delta_dir: str,
+        order_cols: list[str], man: dict,
+    ) -> None:
+        """Append the staged delta's rows to the single-file CSV mirror.
+        Driver-side byte concat is O(delta) — identical to the
+        reference's own file-append cost (CsvAppendReportVisitor.cs) —
+        and never touches history."""
+        out = spark.read.parquet(delta_dir).orderBy(*order_cols)
+        header = out.columns
+        for field in out.schema.fields:
+            if field.dataType.typeName() == "timestamp":
+                out = out.withColumn(field.name, F.date_format(field.name, ISO_O_FMT))
+        csv_stage = os.path.join(self.root, f"_stage.{name}.csv")
+        out.select(*header).coalesce(1).write.mode("overwrite").csv(csv_stage)
+        csv_final = os.path.join(self.root, f"{name}.csv")
+        if os.path.isdir(csv_final):  # pre-r3 directory mirror: not migrated
+            shutil.rmtree(csv_final)
+        mode = "r+b" if os.path.exists(csv_final) else "wb"
+        with open(csv_final, mode) as dst:
+            dst.truncate(man["csv_len"])  # repair a torn tail from a crash
+            dst.seek(0, os.SEEK_END)
+            if dst.tell() == 0:
+                dst.write((",".join(header) + "\n").encode())  # header-once
+            for part in sorted(os.listdir(csv_stage)):
+                if part.startswith("part-") and part.endswith(".csv"):
+                    with open(os.path.join(csv_stage, part), "rb") as src:
+                        shutil.copyfileobj(src, dst)
+            man["csv_len"] = dst.tell()
+        shutil.rmtree(csv_stage)
 
 
 REPORTS = ("deleted_pages", "page_count_by_day", "page_count_by_day_kind")
@@ -169,18 +265,30 @@ def update_reports(
     if unknown:
         raise ValueError(f"unknown reports: {sorted(unknown)}")
     store = ReportStore(report_root)
-    head = pages.agg(F.max("warc_ts")).first()[0]
+    head = pages.agg(F.max("warc_ts")).first()[0]  # the loop's ONE standalone action
     updated: dict[str, int] = {}
     for name in names:
         cursor = store.cursor(name)
-        delta = pages.where(F.col("warc_ts") > F.lit(cursor)) if cursor > EPOCH_MIN else pages
-        delta = delta.where(F.col("warc_ts") <= F.lit(head))
-        n = delta.count()
-        if n == 0:
+        # head == max(warc_ts), so head <= cursor ⇔ the delta is empty:
+        # the skip decision needs no count action at all
+        if head is None or head <= cursor:
             updated[name] = 0
             continue
+        delta = pages.where(F.col("warc_ts") > F.lit(cursor)) if cursor > EPOCH_MIN else pages
+        delta = delta.where(F.col("warc_ts") <= F.lit(head))
+        # delta row count rides the write job as an Observation — no
+        # standalone delta.count() per report (2·N actions → N writes)
+        obs = Observation()
+        delta = delta.observe(obs, F.count(F.lit(1)).alias("n"))
         if name == "deleted_pages":
-            store.update_append(spark, name, deleted_pages(delta), ["warc_ts", "url"])
+            applied = store.update_append(
+                spark, name, deleted_pages(delta), ["warc_ts", "url"],
+                update_key=cursor.isoformat(), head=head.isoformat(),
+            )
+            if not applied:  # replay guard hit: obs never fired, don't block on it
+                store._write_cursor(name, head)
+                updated[name] = 0
+                continue
         elif name == "page_count_by_day":
             store.update_aggregate(spark, name, page_count_by_day(delta), ["day"], ["value"])
         elif name == "page_count_by_day_kind":
@@ -188,5 +296,5 @@ def update_reports(
                 spark, name, page_count_by_day_kind(delta), ["day"], ["details", "deletes"]
             )
         store._write_cursor(name, head)
-        updated[name] = n
+        updated[name] = int(obs.get["n"])
     return updated

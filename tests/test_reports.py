@@ -62,12 +62,70 @@ def test_deleted_pages_append_report(spark, tmp_path):
     got = ReportStore(root).read(spark, "deleted_pages")
     exp = full.where(F.col("url").rlike(r"^https://[^/]+/private/")).count()
     assert got.count() == exp
-    # csv mirror exists with the round-trip timestamp format (O23)
-    import glob
-    csv = glob.glob(str(tmp_path / "reports" / "deleted_pages.csv" / "*.csv"))
-    assert csv, "csv mirror missing"
-    header = open(csv[0]).readline().strip().split(",")
-    assert header == ["warc_ts", "url"]
+    # single-file csv mirror (CsvAppendReportVisitor.cs shape), header
+    # once, round-trip timestamp format (O23)
+    csv = tmp_path / "reports" / "deleted_pages.csv"
+    assert csv.is_file(), "csv mirror missing"
+    lines = csv.read_text().strip().splitlines()
+    assert lines[0].split(",") == ["warc_ts", "url"]
+    assert len(lines) == exp + 1  # header + one row per deleted page
+
+
+def test_append_report_update_cost_is_o_delta(spark, tmp_path):
+    """Each incremental update must ADD files, never rewrite history
+    (r2 verdict 'What's wrong #3'): the first update's parquet files are
+    byte-identical (same path, mtime, size) after the second update, and
+    the second update appends to the CSV instead of rewriting it."""
+    import os
+
+    full = pages_only(build_pages(spark, 240, n_hosts=8))
+    cut = dt.datetime(2024, 3, 1, 0, 7)
+    first = full.where(F.col("warc_ts") <= F.lit(cut))
+    root = str(tmp_path / "reports")
+
+    update_reports(spark, first, root, names=("deleted_pages",))
+    pq_dir = tmp_path / "reports" / "deleted_pages.parquet"
+    before = {
+        str(p): (p.stat().st_mtime_ns, p.stat().st_size)
+        for p in pq_dir.rglob("*.parquet")
+    }
+    csv_len_before = (tmp_path / "reports" / "deleted_pages.csv").stat().st_size
+
+    update_reports(spark, full, root, names=("deleted_pages",))
+    after = {
+        str(p): (p.stat().st_mtime_ns, p.stat().st_size)
+        for p in pq_dir.rglob("*.parquet")
+    }
+    for path, sig in before.items():  # history untouched byte-for-byte
+        assert after[path] == sig
+    assert len(after) > len(before)  # the delta arrived as NEW files
+    subdirs = {p.name for p in pq_dir.iterdir() if p.is_dir()}
+    assert len(subdirs) == 2  # one u_<cursor> subdir per update
+    # csv grew in place (append), no header duplication
+    csv_text = (tmp_path / "reports" / "deleted_pages.csv").read_text()
+    assert (tmp_path / "reports" / "deleted_pages.csv").stat().st_size >= csv_len_before
+    assert csv_text.count("warc_ts,url") == 1
+    # and the union equals the from-scratch report
+    got = ReportStore(root).read(spark, "deleted_pages").count()
+    exp = full.where(F.col("url").rlike(r"^https://[^/]+/private/")).count()
+    assert got == exp
+    assert sum(1 for ln in csv_text.strip().splitlines()[1:]) == exp
+
+
+def test_append_report_replay_is_idempotent(spark, tmp_path):
+    """A crash-replay of the SAME update (same cursor) must not duplicate
+    rows in parquet or CSV — the manifest gates both."""
+    full = pages_only(build_pages(spark, 150, n_hosts=5))
+    root = str(tmp_path / "reports")
+    update_reports(spark, full, root, names=("deleted_pages",))
+    store = ReportStore(root)
+    n1 = store.read(spark, "deleted_pages").count()
+    csv1 = (tmp_path / "reports" / "deleted_pages.csv").read_text()
+    # simulate the crash window: cursor file lost AFTER data was applied
+    (tmp_path / "reports" / "_cursor.deleted_pages.json").unlink()
+    update_reports(spark, full, root, names=("deleted_pages",))
+    assert store.read(spark, "deleted_pages").count() == n1
+    assert (tmp_path / "reports" / "deleted_pages.csv").read_text() == csv1
 
 
 def test_report_cursors_are_independent(spark, tmp_path):
