@@ -84,6 +84,8 @@ def _cmd_download(args) -> dict:
     res = catalog_crawl(
         spark, pages, index, args.state,
         depth=args.depth, max_pages=args.max_pages, max_commits=args.max_commits,
+        default_cursor=_parse_cursor(args.default_cursor_value),
+        json_formatting=args.json_formatting,
     )
     return {
         "command": "download", "run": res["run"], "pages": res["pages"],
@@ -105,8 +107,20 @@ def _cmd_update_reports(args) -> dict:
     else:
         raise SystemExit("update-reports needs --pages or --state")
     names = tuple(args.reports) if args.reports else REPORTS
-    updated = update_reports(spark, pages, args.report_dir, names)
+    updated = update_reports(
+        spark, pages, args.report_dir, names,
+        default_cursor=_parse_cursor(args.default_cursor_value),
+    )
     return {"command": "update-reports", "updated": updated, "report_dir": args.report_dir}
+
+
+def _parse_cursor(value: str | None):
+    """--default-cursor-value (UpdateReportsCommandHandler.cs:38-40):
+    ISO timestamp seeding brand-new cursors; None keeps the
+    DateTimeOffset.MinValue default."""
+    import datetime as dt
+
+    return dt.datetime.fromisoformat(value) if value else None
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -130,9 +144,18 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("download", help="catalog-parity incremental run")
     d.add_argument("--corpus", required=True, help="dir with pages.parquet + index.parquet")
     d.add_argument("--state", required=True)
-    d.add_argument("--depth", choices=("index", "page", "leaf"), default="leaf")
+    d.add_argument(
+        "--depth", choices=("service_index", "index", "page", "leaf"), default="leaf",
+        help="DownloadDepth analog (DownloadDepth.cs:11-27)",
+    )
     d.add_argument("--max-pages", type=int, default=None)
     d.add_argument("--max-commits", type=int, default=None)
+    d.add_argument("--default-cursor-value", default=None, metavar="ISO_TS")
+    d.add_argument(
+        "--json-formatting", default="unchanged",
+        choices=("unchanged", "pretty", "pretty_when_unindented", "minify"),
+        help="O3 rewrite applied to mirrored documents (--format-paths analog)",
+    )
     _add_spark_args(d)
     d.set_defaults(fn=_cmd_download)
 
@@ -141,6 +164,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--pages", default=None, help="pages parquet as the source")
     r.add_argument("--report-dir", required=True)
     r.add_argument("--reports", nargs="*", default=None)
+    r.add_argument("--default-cursor-value", default=None, metavar="ISO_TS")
     _add_spark_args(r)
     r.set_defaults(fn=_cmd_update_reports)
     return ap

@@ -553,7 +553,10 @@ def visited_trace(spark: SparkSession, state_dir: str) -> DataFrame:
 # Reference-parity catalog crawl (depths + MaxPages/MaxCommits budgets)
 # ---------------------------------------------------------------------------
 
-DEPTHS = ("index", "page", "leaf")
+# All four reference depths (DownloadDepth.cs:11-27): service_index ≙
+# ServiceIndex (0), index ≙ CatalogIndex (1), page ≙ CatalogPage (2),
+# leaf ≙ CatalogLeaf (3).
+DEPTHS = ("service_index", "index", "page", "leaf")
 
 
 def catalog_crawl(
@@ -566,6 +569,8 @@ def catalog_crawl(
     max_pages: int | None = None,
     max_commits: int | None = None,
     consumer: str = "download",
+    default_cursor: dt.datetime | None = None,
+    json_formatting: str = "unchanged",
 ) -> dict:
     """One incremental run over the catalog: the set-based equivalent of
     the reference's sequential page loop (Downloader.cs:91-195).
@@ -589,10 +594,28 @@ def catalog_crawl(
     if depth not in DEPTHS:
         raise ValueError(f"depth must be one of {DEPTHS}")
     if max_commits is not None and DEPTHS.index(depth) < DEPTHS.index("page"):
-        raise ValueError("max_commits requires depth >= page (Downloader.cs:55-63)")
+        raise ValueError("max_commits requires depth >= page (Downloader.cs:55-58)")
+    if max_pages is not None and DEPTHS.index(depth) < DEPTHS.index("index"):
+        raise ValueError("max_pages requires depth >= index (Downloader.cs:60-63)")
+    if json_formatting not in ("unchanged", "pretty", "pretty_when_unindented", "minify"):
+        raise ValueError(f"unknown json_formatting {json_formatting!r}")
     state = CrawlState(state_dir)
     run = state.next_epoch()
-    cursor = state.cursor(consumer)
+
+    if depth == "service_index":
+        # ServiceIndex depth fetches + validates only the service index
+        # and returns before any catalog work — no cursor is read or
+        # advanced (Downloader.cs:65-69). The table analog of "parse the
+        # service index and find the Catalog/3.0.0 resource" is probing
+        # the catalog index's schema for the columns every deeper depth
+        # relies on.
+        missing = {"page_no", "page_ts"} - set(index.columns)
+        if missing:  # "No Catalog/3.0.0 resource was found" analog
+            raise ValueError(f"catalog index missing columns: {sorted(missing)}")
+        state.commit_epoch(run, stats={"service_index": 1})
+        return {"run": run, "pages": 0, "leaves": 0, "cursor": None}
+
+    cursor = state.cursor(consumer, default=default_cursor)
 
     sel_pages = cursor_filter(index, cursor, ts_col="page_ts")
     sel_pages = ordered_limit(sel_pages, max_pages, ["page_ts", "page_no"]).cache()
@@ -656,13 +679,29 @@ def catalog_crawl(
 
     leaves = leaves.cache()
 
+    if json_formatting != "unchanged":
+        # --format-paths-style mirroring (DownloadCommandHandler.cs:49-52,
+        # 99): the document persisted to the mirror is the O3-rewritten
+        # JSON body, not the raw bytes. Expects JSON documents (the
+        # reference's catalog is all JSON; its parser throws on garbage
+        # too, JsonFileHelper.cs:86-89).
+        from crawlspark.operators.jsonfmt import rewrite_json
+
+        leaves = rewrite_json(
+            leaves.withColumn("__doc", F.col("html").cast("string")),
+            "__doc", mode=json_formatting, out_col="__mirror", flag_col="__rw",
+        )
+        text_col = F.col("__mirror")
+    else:
+        text_col = extract_text_udf(F.col("html"))
+
     fetched_rows = leaves.select(
         "url",
         host_of(F.col("url")).alias("host"),
         F.lit(0).alias("priority"),
         F.lit(_discovery_ts(run)).alias("discovery_ts"),
         "warc_ts",
-        extract_text_udf(F.col("html")).alias("text"),
+        text_col.alias("text"),
         "lang",
         F.lit("ok").alias("status"),
         F.lit(1).alias("attempts"),

@@ -87,15 +87,19 @@ class ReportStore:
     def _meta_path(self, name: str) -> str:
         return os.path.join(self.root, f"_cursor.{name}.json")
 
-    def cursor(self, name: str) -> dt.datetime:
-        """Read-with-default (O29). For append reports the manifest is
-        the commit log: an update whose data landed but whose cursor
-        write was lost to a crash is repaired here (effective cursor =
-        max of the cursor file and every applied update's head), so a
-        replay neither re-appends those rows nor skips rows that arrived
-        after the crash."""
+    def cursor(self, name: str, default: dt.datetime | None = None) -> dt.datetime:
+        """Read-with-default (O29); ``default`` is the reference's
+        --default-cursor-value (UpdateReportsCommandHandler.cs:38-40,
+        Cursor.cs:12-27) — it seeds a BRAND-NEW report's cursor (e.g.
+        'reports from 2015 onward only'); a committed cursor always
+        wins. For append reports the manifest is the commit log: an
+        update whose data landed but whose cursor write was lost to a
+        crash is repaired here (effective cursor = max of the cursor
+        file and every applied update's head), so a replay neither
+        re-appends those rows nor skips rows that arrived after the
+        crash."""
         p = self._meta_path(name)
-        base = EPOCH_MIN
+        base = default if default is not None else EPOCH_MIN
         if os.path.exists(p):
             with open(p) as f:
                 base = dt.datetime.fromisoformat(json.load(f)["cursor"])
@@ -257,10 +261,13 @@ def update_reports(
     pages: DataFrame,
     report_root: str,
     names: tuple[str, ...] = REPORTS,
+    default_cursor: dt.datetime | None = None,
 ) -> dict[str, int]:
     """Incrementally update each selected report to the pages log's head,
     each under its own ``report.{name}`` cursor — independent consumers
-    of one log (O30, UpdateReportsCommandHandler.cs:104-117)."""
+    of one log (O30, UpdateReportsCommandHandler.cs:104-117).
+    ``default_cursor`` seeds brand-new report cursors (the reference's
+    --default-cursor-value); committed cursors always win."""
     unknown = set(names) - set(REPORTS)
     if unknown:
         raise ValueError(f"unknown reports: {sorted(unknown)}")
@@ -268,7 +275,7 @@ def update_reports(
     head = pages.agg(F.max("warc_ts")).first()[0]  # the loop's ONE standalone action
     updated: dict[str, int] = {}
     for name in names:
-        cursor = store.cursor(name)
+        cursor = store.cursor(name, default=default_cursor)
         # head == max(warc_ts), so head <= cursor ⇔ the delta is empty:
         # the skip decision needs no count action at all
         if head is None or head <= cursor:

@@ -66,14 +66,23 @@ class CrawlState:
         self.lineage = EpochTable(root, "crawl_state", LINEAGE_SCHEMA, self.log)
 
     # -- watermark cursors (per consumer, O29/O30) ---------------------
-    def cursor(self, consumer: str = "download") -> dt.datetime:
-        """Read-with-default: missing cursor ⇒ EPOCH_MIN (Cursor.cs:21-33)."""
-        best = EPOCH_MIN
+    def cursor(
+        self, consumer: str = "download", default: dt.datetime | None = None
+    ) -> dt.datetime:
+        """Read-with-default: missing cursor ⇒ ``default`` (the
+        reference's --default-cursor-value, Cursor.cs:12-27), falling
+        back to EPOCH_MIN ≙ DateTimeOffset.MinValue. A COMMITTED cursor
+        always wins — the default only seeds brand-new consumers (e.g.
+        'reports from 2015 onward only' on first run)."""
+        best = None
         for meta in self.log.read().get("meta", {}).values():
             c = meta.get("cursors", {}).get(consumer)
             if c:
-                best = max(best, dt.datetime.fromisoformat(c))
-        return best
+                v = dt.datetime.fromisoformat(c)
+                best = v if best is None or v > best else best
+        if best is not None:
+            return best
+        return default if default is not None else EPOCH_MIN
 
     def next_epoch(self) -> int:
         last = self.log.last_epoch()

@@ -178,3 +178,116 @@ def test_independent_consumers_have_independent_cursors(spark, staged_dir, tmp_p
     assert r1["leaves"] > 0
     r2 = catalog_crawl(spark, pages, index, sd, depth="leaf", consumer="report.deleted")
     assert r2["leaves"] == r1["leaves"]  # fresh cursor sees everything again
+
+
+def test_depth_service_index_touches_nothing(spark, staged_dir, tmp_path):
+    """ServiceIndex depth (DownloadDepth.cs:11-14, Downloader.cs:65-69):
+    validate the service index and return — no pages processed, no
+    cursor created; a later leaf run starts from scratch."""
+    sd = str(tmp_path / "state")
+    pages, index = _step(spark, staged_dir, "step1")
+    res = catalog_crawl(spark, pages, index, sd, depth="service_index")
+    assert res["pages"] == 0 and res["leaves"] == 0 and res["cursor"] is None
+    state = CrawlState(sd)
+    assert state.cursor("download") == EPOCH_MIN  # nothing advanced
+    # the run itself committed (resume numbering continues past it)
+    res2 = catalog_crawl(spark, pages, index, sd, depth="leaf")
+    assert res2["run"] == res["run"] + 1
+    assert res2["leaves"] > 0  # the full catalog was still pending
+
+
+def test_depth_service_index_validates_catalog_resource(spark, staged_dir, tmp_path):
+    """Missing catalog columns ≙ 'No Catalog/3.0.0 resource was found'
+    (Downloader.cs:71-77)."""
+    pages, index = _step(spark, staged_dir, "step1")
+    with pytest.raises(ValueError, match="catalog index missing"):
+        catalog_crawl(
+            spark, pages, index.drop("page_ts"), str(tmp_path / "x"),
+            depth="service_index",
+        )
+
+
+def test_all_four_depths_run_on_the_same_snapshot(spark, staged_dir, tmp_path):
+    """The reference's integration matrix runs every DownloadDepth
+    (DownloadCommandHandlerIntegrationTests.cs:61-74); each depth does
+    strictly more work than the previous."""
+    pages, index = _step(spark, staged_dir, "step4")
+    results = {}
+    for depth in ("service_index", "index", "page", "leaf"):
+        sd = str(tmp_path / f"state_{depth}")
+        results[depth] = catalog_crawl(spark, pages, index, sd, depth=depth)
+    assert results["service_index"]["pages"] == 0
+    assert results["index"]["pages"] > 0 and results["index"]["leaves"] == 0
+    assert results["page"]["pages"] == results["index"]["pages"]
+    assert results["leaf"]["leaves"] > 0
+    # index/page/leaf all advance the cursor to the same head
+    assert results["page"]["cursor"] == results["index"]["cursor"]
+    assert results["leaf"]["cursor"] == results["index"]["cursor"]
+
+
+def test_max_pages_guardrail_requires_index_depth(spark, staged_dir, tmp_path):
+    pages, index = _step(spark, staged_dir, "step1")
+    with pytest.raises(ValueError, match="max_pages requires"):
+        catalog_crawl(
+            spark, pages, index, str(tmp_path / "x"),
+            depth="service_index", max_pages=2,
+        )
+
+
+def test_default_cursor_value_seeds_new_consumer(spark, staged_dir, tmp_path):
+    """--default-cursor-value (Cursor.cs:12-27): a brand-new cursor
+    starts at the override, so history before it is never crawled; a
+    committed cursor beats the default on later runs."""
+    import datetime as dt
+
+    pages, index = _step(spark, staged_dir, "step4")
+    full = catalog_crawl(spark, pages, index, str(tmp_path / "all"), depth="leaf")
+    ts = sorted(r["warc_ts"] for r in pages.collect())
+    mid = ts[len(ts) // 2]
+    sd = str(tmp_path / "late")
+    late = catalog_crawl(spark, pages, index, sd, depth="leaf", default_cursor=mid)
+    assert 0 < late["leaves"] < full["leaves"]
+    got = {r["url"] for r in CrawlState(sd).fetched.read(spark).collect()}
+    exp = {r["url"] for r in pages.collect() if r["warc_ts"] > mid}
+    assert got == exp
+    # committed cursor wins over a (lower) default on the next run
+    again = catalog_crawl(
+        spark, pages, index, sd, depth="leaf", default_cursor=dt.datetime(2000, 1, 1)
+    )
+    assert again["leaves"] == 0 or again["pages"] == 0
+
+
+def test_json_formatting_on_download_path(spark, tmp_path):
+    """--json-formatting (--format-paths analog,
+    DownloadCommandHandler.cs:49-52,99): the mirrored document is the
+    O3-rewritten JSON body. Golden: minify byte-equals python compact
+    dumps; unchanged keeps extraction."""
+    import datetime as dt
+    import json as _json
+
+    from pyspark.sql import Row
+
+    docs = [
+        '{"id": 1, "nested": {"a": [1, 2]}}',
+        '{\n  "id": 2,\n  "b": "café"\n}',
+    ]
+    base = dt.datetime(2024, 3, 1)
+    pages = spark.createDataFrame([
+        Row(url=f"https://cat.example/leaf/{i}", warc_ts=base + dt.timedelta(minutes=i + 1),
+            html=d.encode(), lang="en")
+        for i, d in enumerate(docs)
+    ])
+    index = spark.createDataFrame(
+        [Row(page_no=0, page_ts=base + dt.timedelta(minutes=len(docs) + 1))]
+    )
+    sd = str(tmp_path / "state")
+    res = catalog_crawl(
+        spark, pages, index, sd, depth="leaf", json_formatting="minify"
+    )
+    assert res["leaves"] == len(docs)
+    got = {
+        r["url"]: r["text"] for r in CrawlState(sd).fetched.read(spark).collect()
+    }
+    for i, d in enumerate(docs):
+        exp = _json.dumps(_json.loads(d), separators=(",", ":"), ensure_ascii=False)
+        assert got[f"https://cat.example/leaf/{i}"] == exp

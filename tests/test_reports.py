@@ -135,3 +135,20 @@ def test_report_cursors_are_independent(spark, tmp_path):
     store = ReportStore(root)
     assert store.cursor("page_count_by_day") > dt.datetime(2000, 1, 1)
     assert store.cursor("deleted_pages") == dt.datetime(1, 1, 1)  # untouched (O29/O30)
+
+
+def test_update_reports_default_cursor_skips_history(spark, tmp_path):
+    """--default-cursor-value on reports ('from 2015 onward only',
+    UpdateReportsCommandHandler.cs:38-40): a brand-new report counts
+    only rows after the override."""
+    full = pages_only(build_pages(spark, 200, n_hosts=6))
+    cut = dt.datetime(2024, 3, 1, 0, 7)
+    root = str(tmp_path / "reports")
+    update_reports(
+        spark, full, root, names=("page_count_by_day",), default_cursor=cut
+    )
+    got = sum(
+        r["value"] for r in ReportStore(root).read(spark, "page_count_by_day").collect()
+    )
+    assert got == full.where(F.col("warc_ts") > F.lit(cut)).count()
+    assert 0 < got < full.count()
