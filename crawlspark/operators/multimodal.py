@@ -3,17 +3,21 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct, processed by Arrow-batched ``mapInPandas``
 pipelines. The Spark-side plumbing (schemas, batch iteration, partition
-strategy) is real and tested; the actual codecs are stubbed because this
-container has no image/audio libraries — ``decode_media`` parses our
-deterministic fake header, and ``real_decode_image`` raises
-NotImplementedError behind an import guard (swap in PIL/libav on a real
-cluster; the dataflow does not change).
+strategy) is real and tested, and so is the decode for two REAL
+uncompressed image formats parseable in pure numpy — binary PPM (P6)
+and uncompressed 24-bit BMP (BI_RGB) — no codec library needed.
+Compressed formats (JPEG/PNG/video) still need PIL/libav on a real
+cluster: they fall through to the metadata-only path here; the batch
+loop, schema, and partitioning do not change when a codec is added.
 
-Fake payload format (deterministic, generated by ``fake_media_payload``):
-  bytes 0-3   magic  b'FAKE'
-  bytes 4-7   width  (big-endian uint32)
-  bytes 8-11  height (big-endian uint32)
-  bytes 12+   pseudo-pixel bytes
+Payload formats dispatched by magic bytes in ``_decode_batch``:
+  b'P6'      binary PPM: ASCII header (dims, maxval, ``#`` comments),
+             then raw RGB triples — the real format, fully decoded
+  b'BM'      BMP, BITMAPINFOHEADER, 24bpp, BI_RGB: dims from the DIB
+             header, pixels de-padded per 4-byte row alignment
+  b'FAKE'    deterministic synthetic header for tests/benchmarks:
+             bytes 4-7 width, 8-11 height (big-endian uint32), 12+ body
+  otherwise  unknown codec → metadata only (n_bytes, whole-blob mean)
 """
 
 from __future__ import annotations
@@ -56,18 +60,62 @@ def build_media_table(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def real_decode_image(payload: bytes):  # pragma: no cover - by design
-    """The production decode path. Container has no codec libs, so this
-    is a clearly-marked stub — on a real cluster, `import PIL.Image` and
-    decode inside the same mapInPandas batch loop."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; "
-            "decode_media uses the deterministic FAKE header instead"
-        ) from e
-    raise NotImplementedError("real decode wired on clusters with codec libs")
+def encode_ppm(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Build a real binary-PPM (P6) payload from an (h, w, 3) uint8
+    array — used by tests and usable by any producer."""
+    if pixels.shape != (height, width, 3):
+        raise ValueError(f"pixels must be ({height}, {width}, 3)")
+    return f"P6\n{width} {height}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-numpy binary-PPM (P6) decode: magic, up to three ASCII
+    integers (width, height, maxval) separated by whitespace with
+    ``#``-to-EOL comments, one whitespace byte, then raw RGB triples."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and b[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        vals.append(int(b[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit-per-sample PPM not supported")
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, px.reshape(h, w, 3)
+
+
+def decode_bmp(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-numpy uncompressed 24-bit BMP decode (BITMAPINFOHEADER,
+    BI_RGB): dims from the DIB header, rows bottom-up (or top-down when
+    height < 0) and padded to 4-byte boundaries."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    px_off = struct.unpack("<I", b[10:14])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    compression = struct.unpack("<I", b[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24bpp BI_RGB supported (got {bpp}bpp, c={compression})")
+    top_down, ah = h < 0, abs(h)
+    row_stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=row_stride * ah, offset=px_off
+    ).reshape(ah, row_stride)[:, : w * 3]
+    if not top_down:
+        rows = rows[::-1]
+    return w, ah, rows.reshape(ah, w, 3)[..., ::-1]  # BGR → RGB
 
 
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -75,10 +123,16 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     widths, heights, nbytes, means = [], [], [], []
     for p in payloads:
         b = bytes(p)
-        if b[:4] == b"FAKE":
+        if b[:2] == b"P6":
+            w, h, px = decode_ppm(b)
+            body = px.ravel()
+        elif b[:2] == b"BM":
+            w, h, px = decode_bmp(b)
+            body = px.ravel()
+        elif b[:4] == b"FAKE":
             w, h = struct.unpack(">II", b[4:12])
             body = np.frombuffer(b[12:], dtype=np.uint8)
-        else:  # unknown codec → metadata only
+        else:  # unknown/compressed codec → metadata only
             w = h = 0
             body = np.frombuffer(b, dtype=np.uint8)
         widths.append(w)

@@ -1,13 +1,19 @@
-"""Multimodal plumbing: typed binary columns through mapInPandas."""
+"""Multimodal plumbing: typed binary columns through mapInPandas, with
+real pure-numpy decode for binary PPM (P6) and uncompressed 24-bit BMP."""
 
+import struct
+
+import numpy as np
 import pytest
 
 from crawlspark.operators.multimodal import (
     build_media_table,
+    decode_bmp,
     decode_media,
+    decode_ppm,
+    encode_ppm,
     frame_sample,
     media_stats,
-    real_decode_image,
 )
 
 
@@ -46,9 +52,72 @@ def test_media_stats_rollup(spark):
     assert stats == {"image": 10, "audio": 10, "video": 10}
 
 
-def test_real_decode_is_clearly_stubbed():
-    with pytest.raises(NotImplementedError):
-        real_decode_image(b"\x89PNG...")
+def _bmp_bytes(pixels: np.ndarray, top_down: bool = False) -> bytes:
+    """Golden 24bpp BI_RGB BMP encoder (tests only): BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        row = pixels[y][:, ::-1].astype(np.uint8).tobytes()  # RGB → BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    px = b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 14 + 40)
+    return file_hdr + dib + px
+
+
+def _px(w, h, seed=3):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_ppm_roundtrip_golden():
+    px = _px(5, 4)
+    w, h, got = decode_ppm(encode_ppm(5, 4, px))
+    assert (w, h) == (5, 4)
+    assert np.array_equal(got, px)
+    # header variants the spec allows: comments + extra whitespace
+    with_comment = b"P6\n# a comment\n5 4\n# more\n255\n" + px.tobytes()
+    w2, h2, got2 = decode_ppm(with_comment)
+    assert (w2, h2) == (5, 4) and np.array_equal(got2, px)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # grayscale PGM is not P6
+
+
+def test_bmp_roundtrip_golden():
+    px = _px(6, 3, seed=9)  # w=6 → row stride 20 (padding exercised... 18→20)
+    for top_down in (False, True):
+        w, h, got = decode_bmp(_bmp_bytes(px, top_down=top_down))
+        assert (w, h) == (6, 3)
+        assert np.array_equal(got, px)
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 40)  # not 24bpp
+
+
+def test_decode_media_handles_real_formats_and_fake_mix(spark):
+    """One frame mixing P6, BMP, FAKE, and an unknown blob — the decode
+    dispatches per row and the means match numpy exactly."""
+    ppm_px, bmp_px = _px(4, 4, seed=1), _px(3, 5, seed=2)
+    rows = [
+        (0, "image", encode_ppm(4, 4, ppm_px)),
+        (1, "image", _bmp_bytes(bmp_px)),
+        (2, "image", bytes(b"FAKE" + struct.pack(">II", 7, 2) + bytes(range(10)))),
+        (3, "video", b"\x89PNG\r\n\x1a\n garbage"),
+    ]
+    from crawlspark.operators.multimodal import MEDIA_SCHEMA
+
+    out = {r["media_id"]: r for r in decode_media(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ).collect()}
+    assert (out[0]["width"], out[0]["height"]) == (4, 4)
+    assert out[0]["mean_byte"] == pytest.approx(float(ppm_px.mean()))
+    assert (out[1]["width"], out[1]["height"]) == (3, 5)
+    assert out[1]["mean_byte"] == pytest.approx(float(bmp_px.mean()))
+    assert (out[2]["width"], out[2]["height"]) == (7, 2)
+    assert out[2]["mean_byte"] == pytest.approx(float(np.mean(range(10))))
+    assert (out[3]["width"], out[3]["height"]) == (0, 0)  # unknown codec
 
 
 def test_resize_caps_long_side_and_is_decodable(spark):
