@@ -61,6 +61,13 @@ CRAWL_LEVEL_REPEATS = {2: max(CRAWL_REPEATS, 5), 8: max(CRAWL_REPEATS, 5), 32: m
 # a hardware ceiling of the sandbox, not a property of the plan.
 CRAWL_LEVELS = (2, 8, 32)
 CRAWL_CRITERION = (2, 8)
+ZERO_PAYLOAD_REPEATS = int(os.environ.get("CRAWLSPARK_BENCH_ZP_REPEATS", "3"))
+if os.environ.get("CRAWLSPARK_BENCH_LEVEL_REPEATS"):  # e.g. "2:1,8:1,32:0" for smoke runs
+    CRAWL_LEVEL_REPEATS = {
+        int(k): int(v)
+        for k, v in (kv.split(":") for kv in os.environ["CRAWLSPARK_BENCH_LEVEL_REPEATS"].split(","))
+    }
+    CRAWL_LEVELS = tuple(n for n in CRAWL_LEVELS if CRAWL_LEVEL_REPEATS.get(n, 0) > 0)
 # shuffle + state on tmpfs: the sandbox's one shared 550 MB/s virtio
 # disk is not a model of per-node cluster disks; keeping ephemeral bytes
 # in RAM makes the comparison measure compute, not one device's queue
@@ -103,7 +110,10 @@ def _wait_quiet() -> float:
     return os.getloadavg()[0]
 
 
-def _run_level(corpus: str, workdir: str, cpus: int, tag: str, gen: bool) -> dict:
+def _run_level(
+    corpus: str, workdir: str, cpus: int, tag: str, gen: bool,
+    gen_words: int = 80, analyze: bool = False,
+) -> dict:
     """One pinned crawl run. taskset constrains the whole process tree
     (JVM + python workers) to exactly `cpus` cores — local[N] alone only
     caps task threads, letting workers spill onto all cores and
@@ -117,9 +127,12 @@ def _run_level(corpus: str, workdir: str, cpus: int, tag: str, gen: bool) -> dic
         "--state", os.path.join(workdir, f"state_{tag}"),
         "--budget", "1000000", "--max-epochs", "2",
     ]
+    if analyze:
+        cmd += ["--analyze"]
     if gen:
         cmd += ["--gen-pages", str(CRAWL_PAGES), "--gen-hosts", "500",
-                "--gen-seeds", str(CRAWL_PAGES * 2 // 5)]
+                "--gen-seeds", str(CRAWL_PAGES * 2 // 5),
+                "--gen-words", str(gen_words)]
     env = {**os.environ, "PYTHONPATH": REPO}
     if TMPFS_ROOT:
         local_dirs = os.path.join(TMPFS_ROOT, "spark_local")
@@ -180,6 +193,39 @@ def run_crawl_scaling(workdir: str) -> dict:
         sp2, eff2 = _pair_eff(best, CRAWL_LEVELS[1], CRAWL_LEVELS[2])
         out["speedup_saturated_pair"] = sp2
         out["scaling_efficiency_saturated_pair"] = eff2
+
+    # Zero-payload control (criterion discharge evidence): the IDENTICAL
+    # plan over a corpus whose pages carry only their link anchors — no
+    # body text. Separates PLAN scaling from the payload-bandwidth
+    # ceiling: the plan's shuffles/joins/windows are unchanged, only the
+    # bytes per url through decode→Arrow→parquet shrink. Equal best-of
+    # at both criterion levels (min-wall estimator bias rule).
+    zp_corpus = os.path.join(workdir, "corpus_zp")
+    zp_best: dict[str, dict] = {}
+    for rep in range(ZERO_PAYLOAD_REPEATS):
+        for cpus in CRAWL_CRITERION:
+            r = _run_level(
+                zp_corpus, workdir, cpus, f"zp{cpus}_{rep}",
+                gen=(rep == 0 and cpus == CRAWL_CRITERION[0]), gen_words=0,
+            )
+            k = str(cpus)
+            if k not in zp_best or r["urls_per_sec"] > zp_best[k]["urls_per_sec"]:
+                zp_best[k] = r
+    zp_sp, zp_eff = _pair_eff(zp_best, lo_n, hi_n)
+    out["zero_payload"] = {
+        "speedup": zp_sp, "scaling_efficiency": zp_eff,
+        **{f"urls_per_sec_local{n}": zp_best[str(n)]["urls_per_sec"] for n in CRAWL_CRITERION},
+        **{f"load1_local{n}": zp_best[str(n)].get("load1_before") for n in CRAWL_CRITERION},
+    }
+
+    # analyze-on diagnostic (CrawlConfig.analyze cost row): one run at
+    # the mid level on the full corpus, compared to the best analyze-off
+    # sample at the same level.
+    ra = _run_level(corpus, workdir, hi_n, f"an{hi_n}", gen=False, analyze=True)
+    out["analyze_on"] = {
+        f"urls_per_sec_local{hi_n}": ra["urls_per_sec"],
+        "vs_off_ratio": round(ra["urls_per_sec"] / best[str(hi_n)]["urls_per_sec"], 3),
+    }
     return out
 
 
@@ -223,6 +269,27 @@ def write_bench_md(crawl: dict, queries: dict[str, float]) -> None:
         f"Saturated pair {CRAWL_LEVELS[1]}→{CRAWL_LEVELS[-1]}: speedup "
         f"{crawl.get('speedup_saturated_pair', '-')}x → efficiency "
         f"{crawl.get('scaling_efficiency_saturated_pair', '-')} (diagnostic, see below).",
+        "",
+        "### Zero-payload control (plan scaling vs payload bandwidth)",
+        "",
+        f"The IDENTICAL plan over a corpus whose pages carry only link",
+        f"anchors (no body text): efficiency "
+        f"{(crawl.get('zero_payload') or {}).get('scaling_efficiency', '-')} at the criterion pair "
+        f"({(crawl.get('zero_payload') or {}).get(f'urls_per_sec_local{lo_n}', '-')} → "
+        f"{(crawl.get('zero_payload') or {}).get(f'urls_per_sec_local{hi_n}', '-')} urls/s).",
+        "Every shuffle, join, window, and action is unchanged — only the",
+        "page bytes through parquet-decode → Arrow → extract → parquet-",
+        "encode shrink. The gap between this number and the full-corpus",
+        "number above is the payload-bandwidth share of the scaling loss;",
+        "the gap between this number and 1.0 is the box's residual",
+        "shared-core/L3 contention plus the per-epoch serial driver share",
+        "(Amdahl: ~4-5 s of planning/commit/footers per run that no",
+        "executor count removes).",
+        "",
+        f"`analyze=True` diagnostic at local[{hi_n}]: "
+        f"{(crawl.get('analyze_on') or {}).get(f'urls_per_sec_local{hi_n}', '-')} urls/s = "
+        f"{(crawl.get('analyze_on') or {}).get('vs_off_ratio', '-')}x the analyze-off best "
+        "(the documented inline simhash/token/quality HOF cost, CrawlConfig.analyze).",
         "",
         "### Why the criterion pair is 2→8, and what 8→32 measures instead",
         "",
@@ -275,6 +342,17 @@ def write_bench_md(crawl: dict, queries: dict[str, float]) -> None:
         "url-bucketed pages table so the fetch join never shuffles the huge",
         "side (SelectedBucketsCount in the plan; at 100 TB that shuffle is",
         "impossible anyway).",
+        "",
+        "Round-3 additions targeting bytes-per-url and serial driver time:",
+        "the frontier table and every pre-dequeue/dedup shuffle are now",
+        "HOST-FREE (host is a pure regexp of url, re-derived post-shuffle:",
+        "register-bound compute that scales ~0.95 replaces string bytes",
+        "through bandwidth that scales ~0.66; the link-explode no longer",
+        "computes the regex per duplicate link either — only per dedup",
+        "survivor), and AQE is disabled for the crawl loop (partition",
+        "counts are fixed by protocol, skew is hand-managed; AQE executed",
+        "every exchange as its own job with a driver re-plan gap between —",
+        "one consolidated job per epoch now, ~12 before).",
         "",
         f"## Headline queries at {SF_DIR} (local[{CPUS}])",
         "",

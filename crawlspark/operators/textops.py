@@ -212,25 +212,44 @@ _POW64 = [2 ** b for b in range(63)] + [-(2 ** 63)]
 
 def simhash64(text: Column | str) -> Column:
     """64-bit SimHash over whitespace tokens, as a single column
-    expression (for inline per-row analysis). One md5 + one 64-wide
-    zip_with accumulate per token — the token hash is computed once, not
-    per bit. For corpus-level signatures prefer ``simhash64_agg`` (the
-    explode+aggregate shape scales better than HOFs; ROUND_NOTES.md)."""
+    expression (for inline per-row analysis). For corpus-level
+    signatures prefer ``simhash64_agg`` (the explode+aggregate shape
+    scales better than HOFs; ROUND_NOTES.md).
+
+    Evaluation-cost note: lambda bodies inside higher-order functions
+    are RE-EVALUATED per element — an earlier shape closed over
+    ``split(md5(t), '')`` from 64 bit-lambdas and silently computed 64
+    md5s per token (~10x the whole fetch stage, measured in
+    BENCH/BASELINE.md). The fix materializes each token's 16 hex
+    nibbles ONCE as an int array (outer transform), so the per-token
+    cost is 1 md5 + 1 split + 16 nibble decodes + 64 adds."""
     toks = words_of(text)
     zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
+
+    # one md5 + split per token, materialized: array of 16 nibble ints
+    tok_nibs = F.transform(
+        toks,
+        lambda t: F.transform(
+            F.slice(F.split(F.substring(F.md5(t), 1, 16), ""), 1, 16),
+            _nibble_val,
+        ),
+    )
+
     pow2_nib = F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))
 
-    def tok_weights(t):
-        chars = F.split(F.md5(t), "")
-
+    def bit_weights(nb):
+        # bit b of the token hash = bit (b & 3) of nibble (b >> 2)
+        # (shift-by-column isn't expressible, hence the pow2 divide)
         def w_of(b):
-            nib = _nibble_val(F.element_at(chars, (F.shiftright(b, 2) + 1).cast("int")))
-            bit = F.floor(nib / F.element_at(pow2_nib, F.pmod(b, 4).cast("int") + 1)) % 2
+            nibble = F.element_at(nb, (F.shiftright(b, 2) + 1).cast("int"))
+            bit = F.floor(nibble / F.element_at(pow2_nib, F.pmod(b, 4).cast("int") + 1)) % 2
             return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)).cast("long")
 
         return F.transform(F.sequence(F.lit(0), F.lit(63)), w_of)
 
-    acc = F.aggregate(toks, zero64, lambda a, t: F.zip_with(a, tok_weights(t), lambda x, y: x + y))
+    acc = F.aggregate(
+        tok_nibs, zero64, lambda a, nb: F.zip_with(a, bit_weights(nb), lambda x, y: x + y)
+    )
     pow64 = F.array(*[F.lit(v).cast("long") for v in _POW64])
     terms = F.zip_with(acc, pow64, lambda w, p: F.when(w >= 0, p).otherwise(F.lit(0).cast("long")))
     return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)

@@ -163,7 +163,17 @@ class CrawlConfig:
     # impossible and the bloom shards carry the filter. Set 0 to force
     # bloom from the first epoch (tests do).
     bloom_min_seen: int = 2_000_000
-    analyze: bool = False            # inline text analysis on fetch (tokens/simhash/quality)
+    # Inline text analysis on fetch (tokens/simhash/quality). COST NOTE:
+    # the simhash uses the HOF shape (textops.simhash64: a 64-lane
+    # zip_with accumulate per token) INSIDE the fetch projection — no
+    # shuffle, but roughly 2-4x the fetch stage's expression CPU per ok
+    # row (measured in BENCH/BASELINE.md's analyze on/off row). The
+    # explode+agg shape (simhash64_agg) is cheaper per token but needs a
+    # token-level shuffle, which at 100 TB moves far more bytes than the
+    # HOF burns cycles — run it as a post-crawl batch pass over
+    # `fetched` when whole-corpus analysis is the goal; keep analyze=True
+    # for cheap always-on QA where the extraction is the bottleneck.
+    analyze: bool = False
     broadcast_threshold: int = 100_000  # dequeues larger than this use a shuffle-hash join
     local_checkpoint: bool = False   # truncate plan lineage at the epoch's cached
     # relations: the epoch plan tree is deep, and every downstream action pays
@@ -183,7 +193,9 @@ class CrawlConfig:
 
 def _normalize_seeds(seeds: DataFrame) -> DataFrame:
     """Validate, default-fill, and dedupe the seed list (min priority
-    wins, matching the simulator's pending-merge rule)."""
+    wins, matching the simulator's pending-merge rule). No host column —
+    like the frontier table, host is derived post-shuffle (see
+    FRONTIER_SCHEMA note)."""
     cols = seeds.columns
     out = seeds.select(
         F.col("url"),
@@ -194,7 +206,6 @@ def _normalize_seeds(seeds: DataFrame) -> DataFrame:
         .groupBy("url").agg(F.min("priority").alias("priority"))
         .select(
             "url",
-            host_of(F.col("url")).alias("host"),
             "priority",
             F.lit(_discovery_ts(0)).alias("discovery_ts"),
             F.lit(0).alias("attempts"),
@@ -291,6 +302,11 @@ def web_crawl(
             est_dequeued = pending_rows
         if cfg.global_budget_per_epoch is not None:
             est_dequeued = min(est_dequeued, cfg.global_budget_per_epoch)
+
+        # host re-derived AFTER the frontier read / width repartition —
+        # the stored frontier row and every pre-dequeue shuffle stay
+        # host-free (bandwidth), the regex is codegen'd compute (scales)
+        pending = pending.withColumn("host", host_of(F.col("url")))
 
         # 2. robots + politeness dequeue (salted two-phase per-host top-K).
         #    The split variant yields the selected set AND the remainder
@@ -404,6 +420,10 @@ def web_crawl(
         #    seen-set (bloom prefilter + exact anti-join backstop on the
         #    maybe-seen residue); remaining and retries are unseen by the
         #    frontier invariant. finals excludes this epoch's outcomes.
+        # No host here: host_of is a regex per row and links are PRE-dedup
+        # (the same url can appear from thousands of pages) — deriving
+        # host after the groupBy shuffle computes it once per SURVIVOR
+        # and keeps the biggest shuffle of the epoch host-free.
         links = (
             base.where(F.col("status") == "ok")
             .select(
@@ -411,7 +431,6 @@ def web_crawl(
                 (F.col("priority") + 1).alias("priority"),
             )
             .where(is_valid_http_url(F.col("url")))
-            .withColumn("host", host_of(F.col("url")))
             .withColumn("discovery_ts", F.lit(_discovery_ts(epoch + 1)))
             .withColumn("attempts", F.lit(0))
         )
@@ -438,16 +457,15 @@ def web_crawl(
                 shards_bc=seen_bloom.bc,
                 seen_count=seen_bloom.count,
             )
-        frontier_cols = ["url", "host", "priority", "discovery_ts", "attempts"]
+        frontier_cols = ["url", "priority", "discovery_ts", "attempts"]
         next_frontier = (
             remaining.select(*frontier_cols)
             .unionByName(base.where(F.col("status") == "retry").select(*frontier_cols))
             .unionByName(links.select(*frontier_cols))
             .groupBy("url")
-            .agg(F.min(F.struct("discovery_ts", "priority", "attempts", "host")).alias("s"))
+            .agg(F.min(F.struct("discovery_ts", "priority", "attempts")).alias("s"))
             .select(
                 "url",
-                F.col("s.host").alias("host"),
                 F.col("s.priority").alias("priority"),
                 F.col("s.discovery_ts").alias("discovery_ts"),
                 F.col("s.attempts").alias("attempts"),

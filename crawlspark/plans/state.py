@@ -39,9 +39,14 @@ FETCHED_SCHEMA = T.StructType([
     T.StructField("quality_micro", T.LongType()),
 ])
 
+# No ``host`` column: host is a pure function of url (regexp_extract,
+# functions/urls.py) and the crawl is memory-bandwidth-bound, so the
+# frontier carries the minimum row — host is re-derived AFTER the
+# dequeue read / dedup shuffle, trading register-bound compute (which
+# scales ~0.95 on this box) for bytes through every frontier shuffle,
+# parquet encode, and read (which scale ~0.66). See BENCH/BASELINE.md.
 FRONTIER_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
-    T.StructField("host", T.StringType()),
     T.StructField("priority", T.IntegerType()),
     T.StructField("discovery_ts", T.TimestampType()),
     T.StructField("attempts", T.IntegerType()),   # failed fetch attempts so far
