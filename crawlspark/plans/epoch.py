@@ -164,15 +164,17 @@ class CrawlConfig:
     # bloom from the first epoch (tests do).
     bloom_min_seen: int = 2_000_000
     # Inline text analysis on fetch (tokens/simhash/quality). COST NOTE:
-    # the simhash uses the HOF shape (textops.simhash64: a 64-lane
-    # zip_with accumulate per token) INSIDE the fetch projection — no
-    # shuffle, but roughly 2-4x the fetch stage's expression CPU per ok
-    # row (measured in BENCH/BASELINE.md's analyze on/off row). The
-    # explode+agg shape (simhash64_agg) is cheaper per token but needs a
-    # token-level shuffle, which at 100 TB moves far more bytes than the
-    # HOF burns cycles — run it as a post-crawl batch pass over
-    # `fetched` when whole-corpus analysis is the goal; keep analyze=True
-    # for cheap always-on QA where the extraction is the bottleneck.
+    # ~1.5x the analyze-off epoch wall at bench scale (the analyze
+    # on/off row in BENCH/BASELINE.md), dominated by the Arrow simhash
+    # UDF (textops.simhash64_udf — C md5 + numpy bit math with a
+    # Zipf-friendly token-weight memo; the column-expression HOF shape
+    # was 8-10x because Catalyst re-evaluates HOF lambdas per element)
+    # plus quality_micro's stopword replace passes. No shuffle either
+    # way. The explode+agg shape (simhash64_agg) is cheaper per token
+    # but needs a token-level shuffle — at 100 TB that moves far more
+    # bytes than the UDF burns cycles; run it as a post-crawl batch pass
+    # when whole-corpus analysis is the goal, keep analyze=True for
+    # always-on QA that tolerates the 1.5x.
     analyze: bool = False
     broadcast_threshold: int = 100_000  # dequeues larger than this use a shuffle-hash join
     local_checkpoint: bool = False   # truncate plan lineage at the epoch's cached
@@ -377,11 +379,19 @@ def web_crawl(
         # analysis in a second projection so the extraction UDF column is
         # referenced (and evaluated) exactly once
         if cfg.analyze:
-            from crawlspark.operators.textops import quality_micro, simhash64, token_count
+            # simhash via the Arrow UDF, not the HOF expression: Catalyst
+            # re-evaluates HOF lambdas per element, and the 64-lane
+            # interpreted accumulate made analyze=True ~8x slower than
+            # off (textops.simhash64_udf docstring; bench analyze row)
+            from crawlspark.operators.textops import (
+                quality_micro,
+                simhash64_udf,
+                token_count,
+            )
 
             base = base.withColumns({
                 "n_tokens": token_count(F.col("text")),
-                "simhash": simhash64(F.col("text")),
+                "simhash": simhash64_udf(F.col("text")),
                 "quality_micro": quality_micro(F.col("text")),
             })
         else:

@@ -70,3 +70,21 @@ def test_token_count_bpe_matches_python(spark, texts):
     pat = re.compile(BPE_TOKEN_RE)
     for i, t in enumerate(texts):
         assert got[i] == len(pat.findall(t)), repr(t)
+
+
+def test_simhash_udf_matches_hof_expression(spark):
+    """simhash64_udf (Arrow/numpy) must be BIT-EXACT with the simhash64
+    column expression — including multi-space runs (empty tokens), empty
+    strings, non-ASCII, and nulls."""
+    from pyspark.sql import Row
+
+    from crawlspark.operators.textops import simhash64, simhash64_udf
+
+    texts = ["hello world", "a  b", "", "café über  naïve", "x", None,
+             "the quick brown fox jumps over the lazy dog " * 8]
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(texts)])
+    rows = df.select(
+        "i", simhash64(F.col("t")).alias("hof"), simhash64_udf(F.col("t")).alias("udf")
+    ).collect()
+    for r in rows:
+        assert r.hof == r.udf, f"row {r.i}: {r.hof} != {r.udf}"
