@@ -1137,6 +1137,39 @@ def _sampling_oracles() -> None:
 
 
 _register("stratified_sample", _q_stratified_sample, None)
+
+
+def _q_repetition_profile(spark, sf_dir):
+    """Gopher-style duplicate-bigram share per document (repetition =
+    boilerplate / keyword stuffing / generation loops). Pure per-row
+    expressions, zero shuffle; oracle = DuckDB list-lambda twin
+    generated by the same module (textops.repetition_profile_sql)."""
+    from crawlspark.operators.textops import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"), n=2)
+
+
+def _q_top_token_frac(spark, sf_dir):
+    """Dominant-token share per document (explode + two-level agg, the
+    dedup-signature scale shape)."""
+    from crawlspark.operators.textops import top_token_fraction
+
+    return top_token_fraction(_t(spark, sf_dir, "documents"))
+
+
+def _textops_repetition_oracles() -> None:
+    from crawlspark.operators.textops import (
+        repetition_profile_sql,
+        top_token_fraction_sql,
+    )
+
+    _ORACLES["repetition_profile"] = repetition_profile_sql(n=2)
+    _ORACLES["top_token_frac"] = top_token_fraction_sql()
+
+
+_register("repetition_profile", _q_repetition_profile, None)
+_register("top_token_frac", _q_top_token_frac, None)
+_textops_repetition_oracles()
 _sampling_oracles()
 
 

@@ -374,3 +374,94 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         fingerprint(text_col).alias("fp"),
         simhash64(text_col).alias("simhash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (the Gopher/MassiveText quality-filter family:
+# repeated n-grams and dominant-token share mark boilerplate, keyword
+# stuffing, and generation loops). No reference twin — task-brief scope.
+# ---------------------------------------------------------------------------
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *, n: int = 2
+) -> DataFrame:
+    """Per-document duplicate-n-gram share: (id, n_ngrams, n_distinct,
+    dup_frac_micro) where dup_frac_micro = floor((total − distinct)·10⁶
+    / total) — integer micro-units for engine-exact comparison.
+
+    Pure per-row expressions, zero shuffle. The n-gram array is staged
+    in its own projection and referenced twice (size + distinct-size) so
+    CollapseProject doesn't inline the transform into both consumers —
+    the same barrier trick as ``winnow_fingerprints``."""
+    toks = words_of(F.col(text_col))
+    n_grams = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    g = F.col("__grams")
+    total = F.size(g)
+    distinct = F.size(F.array_distinct(g))
+    return df.select(F.col(id_col), grams.alias("__grams")).select(
+        F.col(id_col),
+        total.cast("long").alias("n_ngrams"),
+        distinct.cast("long").alias("n_distinct"),
+        F.floor((total - distinct) * 1_000_000 / total).cast("long").alias("dup_frac_micro"),
+    )
+
+
+def repetition_profile_sql(
+    id_col: str = "doc_id", text_col: str = "text", *, n: int = 2,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`repetition_profile` (list lambdas mirror
+    transform/slice/concat_ws 1:1; DuckDB slices are inclusive index
+    ranges, hence i .. i+n-1)."""
+    toks = f"string_split({text_col}, ' ')"
+    return f"""
+        WITH g AS (
+          SELECT {id_col},
+                 list_transform(
+                   range(1, greatest(len({toks}) - {n - 1}, 1) + 1),
+                   i -> array_to_string({toks}[i:i+{n - 1}], ' ')
+                 ) AS grams
+          FROM {table})
+        SELECT {id_col},
+               CAST(len(grams) AS BIGINT) AS n_ngrams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+               CAST(floor((len(grams) - len(list_distinct(grams))) * 1000000.0
+                          / len(grams)) AS BIGINT) AS dup_frac_micro
+        FROM g"""
+
+
+def top_token_fraction(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Dominant-token share per document: (id, top_token_micro) =
+    floor(max token count · 10⁶ / total tokens). The explode + two-level
+    aggregate shape — both aggregates get map-side partials and shuffle
+    only (id, token, count) rows, never the texts; at 100 TB this is the
+    same scale path as the dedup signature builds."""
+    w = df.select(
+        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("t")
+    ).groupBy(id_col, "t").agg(F.count("*").alias("c"))
+    return (
+        w.groupBy(id_col)
+        .agg(
+            F.floor(F.max("c") * 1_000_000 / F.sum("c")).cast("long").alias("top_token_micro")
+        )
+    )
+
+
+def top_token_fraction_sql(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`top_token_fraction`."""
+    return f"""
+        WITH w AS (
+          SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS t
+          FROM {table}),
+        c AS (SELECT {id_col}, t, count(*) AS c FROM w GROUP BY 1, 2)
+        SELECT {id_col},
+               CAST(floor(max(c) * 1000000.0 / sum(c)) AS BIGINT) AS top_token_micro
+        FROM c GROUP BY {id_col}"""

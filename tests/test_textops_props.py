@@ -88,3 +88,33 @@ def test_simhash_udf_matches_hof_expression(spark):
     ).collect()
     for r in rows:
         assert r.hof == r.udf, f"row {r.i}: {r.hof} != {r.udf}"
+
+
+def test_repetition_profile_counts_duplicate_bigrams(spark):
+    from pyspark.sql import Row
+
+    from crawlspark.operators.textops import repetition_profile
+
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="a b a b a b"),     # bigrams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
+        Row(doc_id=1, text="all words differ here"),  # 3 distinct of 3
+        Row(doc_id=2, text="x"),               # shorter than n: 1 gram ("x"), 0 dup
+    ])
+    got = {r.doc_id: r for r in repetition_profile(df, n=2).collect()}
+    assert (got[0].n_ngrams, got[0].n_distinct, got[0].dup_frac_micro) == (5, 2, 600000)
+    assert (got[1].n_ngrams, got[1].n_distinct, got[1].dup_frac_micro) == (3, 3, 0)
+    assert (got[2].n_ngrams, got[2].n_distinct, got[2].dup_frac_micro) == (1, 1, 0)
+
+
+def test_top_token_fraction(spark):
+    from pyspark.sql import Row
+
+    from crawlspark.operators.textops import top_token_fraction
+
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="spam spam spam eggs"),   # 3/4
+        Row(doc_id=1, text="a b c d"),               # 1/4
+    ])
+    got = {r.doc_id: r.top_token_micro for r in top_token_fraction(df).collect()}
+    assert got[0] == 750000
+    assert got[1] == 250000
