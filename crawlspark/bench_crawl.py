@@ -138,6 +138,34 @@ def main() -> None:
     spark.range(args.cpus * 64).repartition(args.cpus).select(
         extract_text_udf(F.encode(F.lit("<p>warm</p>"), "UTF-8")).alias("t")
     ).count()
+    # warm whole-stage-codegen (janino) + JIT with an epoch-shaped dry
+    # run over a tiny in-memory corpus: the first timed epoch otherwise
+    # pays ~3-5 s of one-time class compilation that epoch 1 doesn't
+    # (event-log write-job planning gap 1.3 s -> 0.34 s), a serial cost
+    # that distorts the scaling comparison at 2-epoch bench length.
+    # Identical at every parallelism level; steady-state is the regime
+    # that matters at production epoch counts.
+    import shutil as _sh
+    import tempfile as _tf
+
+    from crawlspark.testdata import build_pages, pages_only
+
+    _wpages = pages_only(build_pages(spark, 2000, n_hosts=20, n_outlinks=4))
+    _wseeds = _wpages.select("url").limit(400).select(
+        "url", F.lit(0).alias("priority")
+    )
+    _wdir = _tf.mkdtemp(prefix="warmcrawl")
+    try:
+        web_crawl(
+            spark, _wpages, os.path.join(_wdir, "s"), _wseeds,
+            # broadcast_threshold=0 forces the LARGE-dequeue fetch path
+            # (shuffle-hash right join) so the warmup compiles the same
+            # generated classes the timed epochs execute
+            config=CrawlConfig(default_budget=1000, max_epochs=2,
+                               local_checkpoint=True, broadcast_threshold=0),
+        )
+    finally:
+        _sh.rmtree(_wdir, ignore_errors=True)
 
     t0 = time.time()
     stats = web_crawl(
