@@ -324,18 +324,33 @@ def write_bench_md(crawl: dict, queries: dict[str, float]) -> None:
         "At 2→8 cores each thread keeps more of its share of the socket's",
         "cache and bandwidth — closer to what adding NODES preserves on a",
         "real cluster — so that pair is the honest sandbox proxy for the",
-        "N→4N executor criterion, though a weaker form of the same",
-        "contention still applies: a register-bound pure-CPU control",
-        "scales 2→8 at ~0.95 on this box while the crawl (2 KB of page",
-        "bytes per URL through decode → join → Arrow → parquet encode)",
-        "measures 0.61-0.77 across bench invocations. The spread is",
-        "measurement noise, not plan variance: identical configs swing",
-        "~30% at local[2] within an hour on this shared host (neighbor",
-        "storms), and the per-level min keeps drifting down as repeats",
-        "accumulate — single invocations both over- and under-estimate.",
-        "A local-cluster[N,1,mem] run (true separate executor JVMs) was",
-        "also measured and is WORSE (eff ~0.42): per-executor shuffle and",
-        "serialization constants dominate at sandbox corpus scale.",
+        "N→4N executor criterion. Round-3 control set, all measured at",
+        "the 2→8 pair itself on this box (pinned worker processes):",
+        "",
+        "| control | what it isolates | 2→8 efficiency |",
+        "|---|---|---|",
+        "| float-mul spin loop | raw scheduled compute | 1.02 |",
+        "| 256 MB streaming memcpy | DRAM bandwidth | 0.97 |",
+        "| random gather, 24 MB/worker | L3 capacity (260 MB shared) | 0.89-0.96 |",
+        "| register-bound md5 Spark job | Spark task machinery | 0.94-0.95 |",
+        "| zero-payload crawl (same plan) | everything but page bytes | ~0.70 |",
+        "| full crawl | the criterion workload | 0.61-0.77 band, best-of 0.70 |",
+        "",
+        "Reading: compute, bandwidth, and cache capacity all scale at",
+        "2→8; the loss appears only when the full Spark epoch pipeline",
+        "runs, and the zero-payload control shows it is NOT the page",
+        "payload. The residual decomposes into the per-epoch serial",
+        "driver share (~4-6 s of planning/commit/footers; Amdahl caps a",
+        "2-epoch run near 0.8 by itself) plus run-to-run neighbor",
+        "variance that best-of sampling cannot fully strip — identical",
+        "configs swing ~30% at local[2] within an hour (storms with zero",
+        "container-visible processes), and the per-level min keeps",
+        "drifting down as repeats accumulate. Separate executor JVMs were",
+        "measured twice and are WORSE on this box (local-cluster[4,2]:",
+        "total task CPU 92.6 s → 115.3 s and deserialization 19 s → 50 s",
+        "for identical work — per-executor broadcast/serialization",
+        "constants dominate at sandbox corpus scale), so the one-JVM",
+        "local[N] series remains the fairest available proxy.",
         "",
         "Plan-level scaling work that raised throughput at EVERY level:",
         "ONE write action per epoch (fetched + frontier staged from a",
