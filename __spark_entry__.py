@@ -1170,6 +1170,43 @@ def _textops_repetition_oracles() -> None:
 _register("repetition_profile", _q_repetition_profile, None)
 _register("top_token_frac", _q_top_token_frac, None)
 _textops_repetition_oracles()
+
+
+_MESSY_URL_SPARK = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN concat('HTTPS://', upper(source), '.Example.COM/Docs/d', doc_id) "
+    "WHEN 1 THEN concat('https://', source, '.example.com:443/d', doc_id, '#sec2') "
+    "WHEN 2 THEN concat('http://', source, '.example.com:80/d', doc_id) "
+    "WHEN 3 THEN concat('https://', source, '.example.com.') "
+    "ELSE concat('https://', source, '.example.com/d', doc_id, '?Page=1') END"
+)
+
+
+def _q_url_normalize(spark, sf_dir):
+    """O24 extension: canonical URL form (lowercased scheme+host,
+    default ports and fragments stripped, FQDN dot removed, empty path
+    → '/') over deterministically-messy variants — the dedup-critical
+    normalization a 10^10 frontier needs before the seen-set."""
+    from crawlspark.functions.urls import normalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_url(F.expr(_MESSY_URL_SPARK)).alias("url_norm"),
+    )
+
+
+def _url_normalize_oracle() -> None:
+    from crawlspark.functions.urls import normalize_url_sql
+
+    messy = _MESSY_URL_SPARK.replace("CAST(doc_id % 5 AS INT)", "CAST(doc_id % 5 AS INTEGER)")
+    _ORACLES["url_normalize"] = (
+        f"SELECT doc_id, {normalize_url_sql(f'({messy})')} AS url_norm FROM documents"
+    )
+
+
+_register("url_normalize", _q_url_normalize, None)
+_url_normalize_oracle()
 _sampling_oracles()
 
 

@@ -53,3 +53,53 @@ def host_shard(url: Column | str, num_shards: int) -> Column:
     """Stable shard id for a url's host — the frontier partition key.
     Hot hosts are later salted on top of this (operators/politeness)."""
     return F.pmod(F.xxhash64(host_of(url)), F.lit(num_shards)).cast("int")
+
+
+def normalize_url(url: Column | str) -> Column:
+    """RFC-3986-style safe normalization, as pure regexp expressions
+    (every step dialect-portable — the oracle runs the same chain):
+
+      1. lowercase the scheme and host (path/query case is significant
+         and preserved);
+      2. strip the fragment (``#...`` is never sent to the server);
+      3. drop the default port (``:443`` for https, ``:80`` for http);
+      4. drop a trailing FQDN dot on the host;
+      5. empty path → ``/``.
+
+    Extends the reference's validation-only O24 (Downloader.cs:246-279)
+    with the dedup-critical canonical form: at 10^10 frontier scale,
+    un-normalized variants of one URL multiply the seen-set and defeat
+    politeness accounting."""
+    c = F.col(url) if isinstance(url, str) else url
+    # 1. lowercase scheme+host: split at the path start, lower the head
+    head = F.regexp_extract(c, r"^([^/]*//[^/?#]*)", 1)
+    tail = F.regexp_replace(c, r"^[^/]*//[^/?#]*", "")
+    out = F.concat(F.lower(head), tail)
+    # 2. fragment
+    out = F.regexp_replace(out, r"#.*$", "")
+    # 3. default ports (only when followed by path-or-end)
+    out = F.regexp_replace(out, r"^(https://[^/?#:]+):443(?=[/?#]|$)", r"$1")
+    out = F.regexp_replace(out, r"^(http://[^/?#:]+):80(?=[/?#]|$)", r"$1")
+    # 4. trailing host dot
+    out = F.regexp_replace(out, r"^(https?://[^/?#]*?)\.(?=[:/?#]|$)", r"$1")
+    # 5. empty path
+    return F.when(
+        F.regexp_extract(out, r"^https?://[^/?#]+(/|\?|#|$)", 1) == "",
+        F.concat(out, F.lit("/")),
+    ).otherwise(out)
+
+
+def normalize_url_sql(col: str) -> str:
+    """DuckDB twin of :func:`normalize_url` (RE2 lacks lookahead, so the
+    port/dot rules capture the boundary char and restore it)."""
+    head = f"lower(regexp_extract({col}, '^([^/]*//[^/?#]*)', 1))"
+    tail = f"regexp_replace({col}, '^[^/]*//[^/?#]*', '')"
+    out = f"({head} || {tail})"
+    out = f"regexp_replace({out}, '#.*$', '')"
+    out = f"regexp_replace({out}, '^(https://[^/?#:]+):443([/?#]|$)', '\\1\\2')"
+    out = f"regexp_replace({out}, '^(http://[^/?#:]+):80([/?#]|$)', '\\1\\2')"
+    out = f"regexp_replace({out}, '^(https?://[^/?#]*?)\\.([:/?#]|$)', '\\1\\2')"
+    return (
+        f"CASE WHEN regexp_extract({out}, '^https?://[^/?#]+(/|\\?|#|$)', 1) = '' "
+        f"THEN {out} || '/' ELSE {out} END"
+    )

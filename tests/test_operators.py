@@ -139,3 +139,48 @@ def test_commit_budget_cutoff_negative_remaining_is_empty(spark):
     df = spark.range(4).withColumnRenamed("id", "commit_ts")
     assert commit_budget_cutoff(df, -1).count() == 0
     assert commit_budget_cutoff(df, 0).count() == 0
+
+
+def test_normalize_url_rules(spark):
+    from pyspark.sql import Row
+
+    from crawlspark.functions.urls import normalize_url
+
+    cases = {
+        "HTTPS://Example.COM/Path/File": "https://example.com/Path/File",
+        "https://example.com:443/a": "https://example.com/a",
+        "http://example.com:80/a": "http://example.com/a",
+        "https://example.com:8443/a": "https://example.com:8443/a",  # non-default kept
+        "https://example.com./a": "https://example.com/a",
+        "https://example.com/a#frag": "https://example.com/a",
+        "https://example.com": "https://example.com/",
+        "https://example.com/A/b?Q=1": "https://example.com/A/b?Q=1",  # path/query case kept
+        "HTTPS://EXAMPLE.COM.:443/x#y": "https://example.com/x",
+    }
+    df = spark.createDataFrame([Row(i=i, u=u) for i, u in enumerate(cases)])
+    got = {r.i: r.n for r in df.select("i", normalize_url("u").alias("n")).collect()}
+    for i, (src, want) in enumerate(cases.items()):
+        assert got[i] == want, f"{src!r}: {got[i]!r} != {want!r}"
+
+
+def test_normalize_url_duckdb_parity(spark):
+    import duckdb
+    from pyspark.sql import Row
+
+    from crawlspark.functions.urls import normalize_url, normalize_url_sql
+
+    urls = [
+        "HTTPS://Example.COM/Path", "https://h.example:443/a#f",
+        "http://H.example:80", "https://a.b.c./d?x=Y#z",
+        "https://example.com:9443/keep", "https://example.com",
+    ]
+    df = spark.createDataFrame([Row(u=u) for u in urls])
+    got_spark = sorted(r.n for r in df.select(normalize_url("u").alias("n")).collect())
+    con = duckdb.connect()
+    vals = ", ".join(f"('{u}')" for u in urls)
+    got_duck = sorted(
+        r[0] for r in con.sql(
+            f"SELECT {normalize_url_sql('u')} FROM (VALUES {vals}) t(u)"
+        ).fetchall()
+    )
+    assert got_spark == got_duck
