@@ -63,6 +63,7 @@ def _cmd_crawl(args) -> dict:
             max_attempts=args.max_attempts,
             use_bloom=not args.no_bloom,
             analyze=args.analyze,
+            normalize_urls=args.normalize_urls,
         ),
     )
     return {
@@ -138,6 +139,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--max-attempts", type=int, default=3)
     c.add_argument("--no-bloom", action="store_true")
     c.add_argument("--analyze", action="store_true")
+    c.add_argument("--normalize-urls", action="store_true",
+                   help="canonicalize seeds + links (case/port/fragment aliases collapse)")
     _add_spark_args(c)
     c.set_defaults(fn=_cmd_crawl)
 

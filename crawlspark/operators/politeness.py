@@ -30,6 +30,45 @@ from crawlspark.functions.urls import path_of
 ORDER_COLS = ("priority", "discovery_ts", "url")
 
 
+def parse_robots_txt(
+    robots_bodies: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse raw robots.txt bodies into the engine's robots cache shape
+    ``(host, disallow_prefixes: array<string>)`` — the step between a
+    real fetch of ``/robots.txt`` and :func:`apply_robots`.
+
+    Single-pass line fold as ONE column expression (``aggregate`` with a
+    struct accumulator — no UDF, no shuffle): a ``User-agent:`` line
+    opens a group (``*`` groups apply to us); consecutive stacked
+    ``User-agent`` lines extend the same group, so ``User-agent: a`` /
+    ``User-agent: *`` / ``Disallow: /x`` applies, in either order;
+    ``Disallow:`` with an empty value (allow-all) contributes nothing;
+    ``#`` comments and blank lines pass through. Non-* rules are
+    ignored (the engine identifies as the wildcard agent)."""
+    body = F.col(body_col)
+    lines = F.split(body, "\r?\n")
+    init = F.struct(
+        F.lit(False).alias("on"),        # inside a group that includes *
+        F.lit(False).alias("ua_run"),    # previous line was a User-agent line
+        F.array().cast("array<string>").alias("acc"),
+    )
+
+    def step(s, ln):
+        ua = F.regexp_extract(ln, r"(?i)^\s*user-agent\s*:\s*([^#\s]+)", 1)
+        dis = F.regexp_extract(ln, r"(?i)^\s*disallow\s*:\s*([^#\s]*)", 1)
+        is_ua = ua != ""
+        # a UA line extends the current group only if the previous line
+        # was also a UA line; otherwise it starts a fresh group
+        on = F.when(is_ua, (ua == "*") | (s.on & s.ua_run)).otherwise(s.on)
+        acc = F.when(on & ~is_ua & (dis != ""), F.array_append(s.acc, dis)).otherwise(s.acc)
+        return F.struct(on.alias("on"), is_ua.alias("ua_run"), acc.alias("acc"))
+
+    return robots_bodies.select(
+        F.col(host_col).alias("host"),
+        F.aggregate(lines, init, step, lambda s: s.acc).alias("disallow_prefixes"),
+    )
+
+
 def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop candidate urls whose path matches a disallow prefix for the
     url's host. robots(host, disallow_prefixes: array<string>) is tiny

@@ -67,7 +67,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from crawlspark.functions.extract import extract_page_udf, extract_text_udf
-from crawlspark.functions.urls import host_of, is_valid_http_url
+from crawlspark.functions.urls import host_of, is_valid_http_url, normalize_url
 from crawlspark.operators.bloom import IncrementalSeen, seen_filter
 from crawlspark.operators.intervals import bucketed_interval_join
 from crawlspark.operators.ordering import (
@@ -154,6 +154,15 @@ class CrawlConfig:
     max_total_urls: int | None = None
     max_attempts: int = 3            # fetch retries per url (Downloader.cs:299)
     use_bloom: bool = True
+    # Canonicalize every seed and discovered link (functions/urls.py
+    # normalize_url: lowercase scheme+host, strip default ports /
+    # fragments / FQDN dots) BEFORE dedup and the seen-set, so URL
+    # variants collapse to one frontier row and politeness accounting
+    # can't be dodged by case/port/fragment aliases. Off by default:
+    # the synthetic corpora are already canonical, and the 5 regexp
+    # passes per raw link are measurable in the link stage; real-web
+    # deployments should turn it on.
+    normalize_urls: bool = False
     bloom_fpp: float = 0.01
     bloom_shards: int = 32
     bloom_capacity: int = 1_000_000  # initial sizing; grows 4x on overflow
@@ -193,14 +202,16 @@ class CrawlConfig:
             raise ValueError("max_attempts must be >= 1")
 
 
-def _normalize_seeds(seeds: DataFrame) -> DataFrame:
+def _normalize_seeds(seeds: DataFrame, canonicalize: bool = False) -> DataFrame:
     """Validate, default-fill, and dedupe the seed list (min priority
     wins, matching the simulator's pending-merge rule). No host column —
     like the frontier table, host is derived post-shuffle (see
-    FRONTIER_SCHEMA note)."""
+    FRONTIER_SCHEMA note). ``canonicalize`` applies normalize_url
+    BEFORE the dedupe so URL aliases collapse to one seed."""
     cols = seeds.columns
+    url = normalize_url(F.col("url")) if canonicalize else F.col("url")
     out = seeds.select(
-        F.col("url"),
+        url.alias("url"),
         (F.col("priority") if "priority" in cols else F.lit(0)).cast("int").alias("priority"),
     )
     return (
@@ -287,7 +298,7 @@ def web_crawl(
         if epoch == 0:
             if seed_count is None:
                 seed_count = seeds.count()  # one tiny metadata-only job
-            pending = _normalize_seeds(seeds).repartition(n_shuffle, "url")
+            pending = _normalize_seeds(seeds, cfg.normalize_urls).repartition(n_shuffle, "url")
             est_dequeued = seed_count
         else:
             fdir = state.frontier._epoch_dir(epoch - 1)
@@ -434,13 +445,16 @@ def web_crawl(
         # (the same url can appear from thousands of pages) — deriving
         # host after the groupBy shuffle computes it once per SURVIVOR
         # and keeps the biggest shuffle of the epoch host-free.
+        raw_url = F.explode("links").alias("url")
+        links = base.where(F.col("status") == "ok").select(
+            raw_url, (F.col("priority") + 1).alias("priority")
+        )
+        if cfg.normalize_urls:
+            # canonicalize BEFORE validity/dedup/seen — alias forms of
+            # one URL must collapse to a single frontier row
+            links = links.withColumn("url", normalize_url(F.col("url")))
         links = (
-            base.where(F.col("status") == "ok")
-            .select(
-                F.explode("links").alias("url"),
-                (F.col("priority") + 1).alias("priority"),
-            )
-            .where(is_valid_http_url(F.col("url")))
+            links.where(is_valid_http_url(F.col("url")))
             .withColumn("discovery_ts", F.lit(_discovery_ts(epoch + 1)))
             .withColumn("attempts", F.lit(0))
         )

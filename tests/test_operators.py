@@ -184,3 +184,47 @@ def test_normalize_url_duckdb_parity(spark):
         ).fetchall()
     )
     assert got_spark == got_duck
+
+
+def test_parse_robots_txt_goldens(spark):
+    from pyspark.sql import Row
+
+    from crawlspark.operators.politeness import apply_robots, parse_robots_txt
+
+    bodies = {
+        "a.example": "User-agent: *\nDisallow: /private/\nDisallow: /tmp\n",
+        "b.example": (
+            "# comment\nUser-agent: googlebot\nDisallow: /g-only/\n\n"
+            "User-agent: ourbot\nUser-agent: *\nDisallow: /mixed/\n"
+        ),
+        "c.example": "User-agent: *\nDisallow:\n",        # allow-all
+        "d.example": "User-agent: *\r\nDisallow: /crlf/ # inline\r\n",
+        "e.example": "User-agent: googlebot\nDisallow: /x/\n",  # not for us
+        "f.example": "",
+    }
+    df = spark.createDataFrame([Row(host=h, robots_txt=b) for h, b in bodies.items()])
+    got = {r.host: list(r.disallow_prefixes) for r in parse_robots_txt(df).collect()}
+    assert got["a.example"] == ["/private/", "/tmp"]
+    assert got["b.example"] == ["/mixed/"]   # stacked UA group includes *
+    assert got["c.example"] == []
+    assert got["d.example"] == ["/crlf/"]
+    assert got["e.example"] == []
+    assert got["f.example"] == []
+    # parsed output feeds apply_robots directly
+    cand = spark.createDataFrame([
+        Row(url="https://a.example/private/x", host="a.example"),
+        Row(url="https://a.example/public/x", host="a.example"),
+        Row(url="https://e.example/x/y", host="e.example"),
+    ])
+    kept = {r.url for r in apply_robots(cand, parse_robots_txt(df)).collect()}
+    assert kept == {"https://a.example/public/x", "https://e.example/x/y"}
+
+
+def test_parse_robots_txt_is_expression_only(spark):
+    from pyspark.sql import Row
+
+    from crawlspark.operators.politeness import parse_robots_txt
+
+    df = spark.createDataFrame([Row(host="h", robots_txt="User-agent: *\nDisallow: /a")])
+    plan = parse_robots_txt(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan  # no UDF in the parse

@@ -255,3 +255,33 @@ def test_global_budget_caps_epoch(spark, tmp_path):
     per_epoch = CrawlState(sd).fetched.read(spark).groupBy("epoch").count().collect()
     assert len(per_epoch) > 0
     assert all(r["count"] <= 10 for r in per_epoch)
+
+
+def test_normalize_urls_collapses_aliases(spark, tmp_path):
+    """With normalize_urls=True, alias forms of one URL (case, default
+    port, fragment) collapse to a single canonical frontier row — one
+    fetch, no politeness double-spend."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    base_ts = dt.datetime(2024, 3, 1)
+    pages = spark.createDataFrame([
+        Row(url="https://site.example/a", warc_ts=base_ts,
+            html=b"<html><body><p>hello doc</p></body></html>", lang="en"),
+    ])
+    seeds = spark.createDataFrame([
+        Row(url="HTTPS://Site.Example/a", priority=0),
+        Row(url="https://site.example:443/a", priority=0),
+        Row(url="https://site.example/a#frag", priority=0),
+    ])
+    sd = str(tmp_path / "s")
+    stats = web_crawl(
+        spark, pages, sd, seeds,
+        config=CrawlConfig(default_budget=8, max_epochs=2, normalize_urls=True),
+    )
+    fetched = CrawlState(sd).fetched.read(spark).collect()
+    assert len(fetched) == 1
+    assert fetched[0]["url"] == "https://site.example/a"
+    assert fetched[0]["status"] == "ok"
+    assert sum(s["urls_dequeued"] for s in stats) == 1  # one canonical row total
