@@ -61,7 +61,7 @@ CRAWL_LEVEL_REPEATS = {2: max(CRAWL_REPEATS, 5), 8: max(CRAWL_REPEATS, 5), 32: m
 # a hardware ceiling of the sandbox, not a property of the plan.
 CRAWL_LEVELS = (2, 8, 32)
 CRAWL_CRITERION = (2, 8)
-ZERO_PAYLOAD_REPEATS = int(os.environ.get("CRAWLSPARK_BENCH_ZP_REPEATS", "3"))
+ZERO_PAYLOAD_REPEATS = int(os.environ.get("CRAWLSPARK_BENCH_ZP_REPEATS", "2"))
 if os.environ.get("CRAWLSPARK_BENCH_LEVEL_REPEATS"):  # e.g. "2:1,8:1,32:0" for smoke runs
     CRAWL_LEVEL_REPEATS = {
         int(k): int(v)
