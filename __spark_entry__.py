@@ -1207,6 +1207,44 @@ def _url_normalize_oracle() -> None:
 
 _register("url_normalize", _q_url_normalize, None)
 _url_normalize_oracle()
+
+
+# deterministic PII planting: the synthetic corpus has no real PII, so
+# each doc gets a class of PII appended by doc_id — the check is
+# NON-vacuous (every redaction class fires) and both engines construct
+# the identical input
+_PII_SUFFIX = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN concat(' mail u', doc_id, '@corp.example.com bye') "
+    "WHEN 1 THEN concat(' call (555) 123-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) "
+    "WHEN 2 THEN concat(' host 10.0.', CAST(doc_id % 256 AS STRING), '.7 up') "
+    "ELSE '' END"
+)
+
+
+def _q_redact_pii(spark, sf_dir):
+    """Training-data PII scrubbing (emails / NANP phones / IPv4 →
+    typed placeholders + per-class counts), over documents with
+    deterministically planted PII."""
+    from crawlspark.operators.textops import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.expr(_PII_SUFFIX)).alias("text")
+    )
+    return redact_pii(docs)
+
+
+def _redact_pii_oracle() -> None:
+    from crawlspark.operators.textops import redact_pii_sql
+
+    suffix = _PII_SUFFIX.replace("CAST(doc_id % 4 AS INT)", "CAST(doc_id % 4 AS INTEGER)") \
+        .replace("AS STRING)", "AS VARCHAR)")
+    inner = f"(SELECT doc_id, text || ({suffix}) AS text FROM documents) d"
+    _ORACLES["redact_pii"] = redact_pii_sql(table=inner)
+
+
+_register("redact_pii", _q_redact_pii, None)
+_redact_pii_oracle()
 _sampling_oracles()
 
 

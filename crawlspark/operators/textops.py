@@ -465,3 +465,56 @@ def top_token_fraction_sql(
         SELECT {id_col},
                CAST(floor(max(c) * 1000000.0 / sum(c)) AS BIGINT) AS top_token_micro
         FROM c GROUP BY {id_col}"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene: emails / NANP-style phone numbers /
+# IPv4 literals redacted to typed placeholders before corpus export).
+# Patterns restricted to constructs with identical semantics in Java
+# regex and RE2/DuckDB, so the oracle runs the byte-identical chain.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+# NANP-ish 3-3-4 shape with optional +1 / parens; deliberately NOT a
+# bare digit-run matcher, so dates/ids/timestamps never redact
+PII_PHONE_RE = r"(\+1[- ]?)?\(?\d{3}\)?[- ]\d{3}[- ]\d{4}\b"
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text_redacted, n_emails, n_phones, n_ips): replace each PII
+    class with a typed placeholder and count the hits. Emails first (so
+    their digits can't feed the phone pattern), then IPs (dotted quads
+    are never phones), then phones. Pure regexp expressions — one
+    narrow projection, no UDF, no shuffle."""
+    c = F.col(text_col)
+    after_email = F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]")
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "[IP]")
+    after_phone = F.regexp_replace(after_ip, PII_PHONE_RE, "[PHONE]")
+    return df.select(
+        F.col(id_col),
+        after_phone.alias("text_redacted"),
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(after_email, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+    )
+
+
+def redact_pii_sql(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`redact_pii` (RE2: same classes, same
+    ordering; counts via len(regexp_extract_all))."""
+    email, ip, phone = PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+    ae = f"regexp_replace({text_col}, '{email}', '[EMAIL]', 'g')"
+    ai = f"regexp_replace({ae}, '{ip}', '[IP]', 'g')"
+    ap = f"regexp_replace({ai}, '{phone}', '[PHONE]', 'g')"
+    return f"""
+        SELECT {id_col},
+               {ap} AS text_redacted,
+               CAST(len(regexp_extract_all({text_col}, '{email}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all({ai}, '{phone}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all({ae}, '{ip}')) AS BIGINT) AS n_ips
+        FROM {table}"""

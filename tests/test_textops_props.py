@@ -118,3 +118,38 @@ def test_top_token_fraction(spark):
     got = {r.doc_id: r.top_token_micro for r in top_token_fraction(df).collect()}
     assert got[0] == 750000
     assert got[1] == 250000
+
+
+def test_redact_pii_goldens_and_duckdb_parity(spark):
+    import duckdb
+    from pyspark.sql import Row
+
+    from crawlspark.operators.textops import redact_pii, redact_pii_sql
+
+    texts = [
+        "contact bob.smith+x@corp.example.com or (555) 123-4567 now",
+        "server at 192.168.1.250 port 8080, backup 10.0.0.1",
+        "call +1 555-867-5309 before 2024-03-01 05:12:00",
+        "no pii here, id 123456789 and date 2024-03-01",
+        "two mails a@b.co c@d.io one ip 8.8.8.8",
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[0].text_redacted == "contact [EMAIL] or [PHONE] now"
+    assert (got[0].n_emails, got[0].n_phones, got[0].n_ips) == (1, 1, 0)
+    assert got[1].text_redacted == "server at [IP] port 8080, backup [IP]"
+    assert got[1].n_ips == 2
+    assert got[2].text_redacted == "call [PHONE] before 2024-03-01 05:12:00"
+    assert got[2].n_phones == 1
+    assert got[3].text_redacted == texts[3]  # digit runs / dates untouched
+    assert (got[3].n_emails, got[3].n_phones, got[3].n_ips) == (0, 0, 0)
+    assert got[4].n_emails == 2 and got[4].n_ips == 1
+
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    duck = sorted(map(tuple, con.sql(redact_pii_sql()).fetchall()))
+    mine = sorted(
+        (r.doc_id, r.text_redacted, r.n_emails, r.n_phones, r.n_ips)
+        for r in redact_pii(df).collect()
+    )
+    assert mine == duck
