@@ -1245,6 +1245,44 @@ def _redact_pii_oracle() -> None:
 
 _register("redact_pii", _q_redact_pii, None)
 _redact_pii_oracle()
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: LSH candidates → exact Jaccard verify →
+    connected components (min-label propagation, dedup.py) — the
+    cluster-then-keep-one step of corpus dedup. (doc_id, component)
+    where component = min doc in the cluster; singletons not emitted.
+    Oracle = DuckDB recursive CTE reachability over the SAME verified
+    pair set (min over reachable nodes ≡ the component label)."""
+    from crawlspark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(docs, num_hashes=_MH_N, band_size=_MH_BAND, k=_MH_K)
+    ver = ngram_jaccard_verify(docs, cands, k=_MH_K, threshold=_J_THRESH)
+    return connected_components(ver).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+_register(
+    "dedup_clusters",
+    _q_dedup_clusters,
+    f"""WITH RECURSIVE {_verify_ctes},
+            nodes AS (SELECT id_a AS n FROM ver UNION SELECT id_b FROM ver),
+            e2 AS (SELECT id_a AS src, id_b AS dst FROM ver
+                   UNION SELECT id_b, id_a FROM ver),
+            reach(start, node) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT r.start, e.dst FROM reach r JOIN e2 e ON r.node = e.src
+            )
+        SELECT start AS doc_id, CAST(min(node) AS BIGINT) AS component
+        FROM reach GROUP BY start""",
+)
 _sampling_oracles()
 
 

@@ -292,3 +292,57 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = 
         .agg(F.count("*").alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a pair list → (node, component) with
+    component = min node id in the component — the cluster step of
+    corpus dedup (near-dup pairs → clusters → keep one doc per
+    cluster), the shape used by the SlimPajama/FineWeb-style pipelines.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round pushes labels across edges and keeps the min; converges in
+    O(diameter) rounds with ONE action per round (the convergence
+    count). Near-dup graphs are unions of near-cliques, so diameter —
+    and the round count — is tiny regardless of corpus size. Each
+    round's result is localCheckpointed: the plan stays O(1) deep
+    instead of growing by two joins per round (at cluster scale use
+    reliable checkpoints). Singleton docs (no pairs) are not emitted —
+    they are their own keeper by definition."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "component")
+        merged = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            merged.withColumnRenamed("component", "c2")
+            .join(labels, "node")
+            .where(F.col("c2") != F.col("component"))
+            .count()
+        )
+        labels = merged
+        if changed == 0:
+            break
+    return labels

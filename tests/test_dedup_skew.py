@@ -64,3 +64,29 @@ def test_cap_none_keeps_exact_semantics_on_small_corpus(spark):
         (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()
     }
     assert capped == uncapped
+
+
+def test_connected_components_goldens(spark):
+    from pyspark.sql import Row
+
+    from crawlspark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    pairs = spark.createDataFrame([
+        Row(id_a=2, id_b=1), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+        Row(id_a=10, id_b=11), Row(id_a=11, id_b=12), Row(id_a=10, id_b=12),
+        Row(id_a=21, id_b=20),
+    ])
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    from pyspark.sql import Row
+
+    from crawlspark.operators.dedup import connected_components
+
+    n = 18  # path graph: worst-case diameter for label propagation
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(n)])
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
