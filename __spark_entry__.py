@@ -1247,6 +1247,63 @@ _register("redact_pii", _q_redact_pii, None)
 _redact_pii_oracle()
 
 
+def _q_corpus_stats(spark, sf_dir):
+    """Per-language corpus rollup (the QA dashboard every training
+    pipeline runs before export): doc count, total/median/p90 token
+    counts (EXACT percentiles — interpolated, matching DuckDB's
+    quantile_cont), mean quality in micro-units."""
+    from crawlspark.operators.textops import quality_micro, token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        token_count("text").alias("n_tok"),
+        quality_micro("text").alias("q"),
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.percentile("n_tok", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("n_tok", F.lit(0.9)), 4).alias("p90_tokens"),
+        F.floor(F.avg("q")).cast("long").alias("mean_quality_micro"),
+    )
+
+
+_register(
+    "corpus_stats",
+    _q_corpus_stats,
+    # token_count twin: len - len(replace) + 1; quality_micro twin is the
+    # exact integer arithmetic from textops.quality_micro
+    """WITH d AS (
+         SELECT lang,
+                CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok,
+                CAST(len(text) AS BIGINT) AS n_chars,
+                text
+         FROM documents),
+       q AS (
+         SELECT lang, n_tok,
+                least(n_tok, 400) * 1250
+                + least(CAST(floor((n_chars - (n_tok - 1)) * 37500.0 / n_tok) AS BIGINT), 300000)
+                + least(CAST(floor((
+                    (len(' ' || text || ' ') - len(replace(' ' || text || ' ', ' the ', ''))) / 5
+                  + (len(' ' || text || ' ') - len(replace(' ' || text || ' ', ' a ', ''))) / 3
+                  + (len(' ' || text || ' ') - len(replace(' ' || text || ' ', ' and ', ''))) / 5
+                  + (len(' ' || text || ' ') - len(replace(' ' || text || ' ', ' of ', ''))) / 4
+                  + (len(' ' || text || ' ') - len(replace(' ' || text || ' ', ' to ', ''))) / 4
+                  + (len(' ' || text || ' ') - len(replace(' ' || text || ' ', ' in ', ''))) / 4
+                  + (len(' ' || text || ' ') - len(replace(' ' || text || ' ', ' value ', ''))) / 7
+                  + (len(' ' || text || ' ') - len(replace(' ' || text || ' ', ' table ', ''))) / 7
+                  ) * 1000000.0 / n_tok) AS BIGINT), 200000) AS q
+         FROM d)
+       SELECT lang,
+              count(*) AS n_docs,
+              sum(n_tok) AS total_tokens,
+              round(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+              round(quantile_cont(n_tok, 0.9), 4) AS p90_tokens,
+              CAST(floor(avg(q)) AS BIGINT) AS mean_quality_micro
+       FROM q GROUP BY lang""",
+)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: LSH candidates → exact Jaccard verify →
     connected components (min-label propagation, dedup.py) — the
