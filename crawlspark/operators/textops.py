@@ -266,7 +266,9 @@ _SIM_POW = _np.array(_POW64, dtype=_np.int64)
 # bit-unpack for a token amortizes to ~zero across a batch; bounded so
 # an adversarial all-unique-token corpus can't grow worker memory.
 _SIM_TOK_CACHE: dict[str, "_np.ndarray"] = {}
-_SIM_TOK_CACHE_MAX = 1_000_000
+# ~64 int16 + dict overhead ≈ 300 B/token → ~60 MB per python worker at
+# the cap; Zipf heads dominate hits long before it fills
+_SIM_TOK_CACHE_MAX = 200_000
 
 
 def _sim_tok_weights(tok: str) -> "_np.ndarray":
