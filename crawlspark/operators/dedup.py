@@ -345,4 +345,13 @@ def connected_components(
         labels = merged
         if changed == 0:
             break
+    else:
+        # exhausted max_iter with labels still moving: returning now
+        # would silently split clusters (diameter > max_iter) and keep
+        # extra duplicates downstream — fail loudly instead (ADVICE r3)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — near-dup "
+            "graphs normally converge in O(diameter) ≪ 25 rounds"
+        )
     return labels

@@ -3,26 +3,36 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct, processed by Arrow-batched ``mapInPandas``
 pipelines. The Spark-side plumbing (schemas, batch iteration, partition
-strategy) is real and tested, and so is the decode for two REAL
-uncompressed image formats parseable in pure numpy — binary PPM (P6)
-and uncompressed 24-bit BMP (BI_RGB) — no codec library needed.
-Compressed formats (JPEG/PNG/video) still need PIL/libav on a real
-cluster: they fall through to the metadata-only path here; the batch
-loop, schema, and partitioning do not change when a codec is added.
+strategy) is real and tested, and so is the decode for three REAL
+image formats parseable in pure numpy/stdlib — binary PPM (P6),
+uncompressed 24-bit BMP (BI_RGB), and non-interlaced 8-bit RGB/RGBA
+PNG (stdlib zlib inflate + per-row filter reversal) — no codec library
+needed. JPEG/video still need PIL/libav on a real cluster: they fall
+through to the metadata-only path here; the batch loop, schema, and
+partitioning do not change when a codec is added.
 
 Payload formats dispatched by magic bytes in ``_decode_batch``:
-  b'P6'      binary PPM: ASCII header (dims, maxval, ``#`` comments),
-             then raw RGB triples — the real format, fully decoded
-  b'BM'      BMP, BITMAPINFOHEADER, 24bpp, BI_RGB: dims from the DIB
-             header, pixels de-padded per 4-byte row alignment
-  b'FAKE'    deterministic synthetic header for tests/benchmarks:
-             bytes 4-7 width, 8-11 height (big-endian uint32), 12+ body
-  otherwise  unknown codec → metadata only (n_bytes, whole-blob mean)
+  b'P6'        binary PPM: ASCII header (dims, maxval, ``#`` comments),
+               then raw RGB triples — the real format, fully decoded
+  b'BM'        BMP, BITMAPINFOHEADER, 24bpp, BI_RGB: dims from the DIB
+               header, pixels de-padded per 4-byte row alignment
+  b'\\x89PNG'  PNG, 8-bit color type 2/6 (RGB/RGBA), non-interlaced:
+               IDAT inflate + None/Sub/Up/Average/Paeth unfiltering
+  b'FAKE'      deterministic synthetic header for tests/benchmarks:
+               bytes 4-7 width, 8-11 height (big-endian uint32), 12+ body
+  otherwise    unknown codec → metadata only (n_bytes, whole-blob mean)
+
+A payload whose magic matches but whose body is malformed (truncated
+P6, 32bpp/RLE BMP, 16-bit samples, interlaced PNG, bad zlib stream...)
+falls back to the metadata-only row for THAT row — one poison blob in a
+100 TB corpus must not fail the whole job (per-row isolation in
+``_decode_batch``; the row keeps width=height=0 like any unknown codec).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -118,21 +128,149 @@ def decode_bmp(b: bytes) -> tuple[int, int, np.ndarray]:
     return w, ah, rows.reshape(ah, w, 3)[..., ::-1]  # BGR → RGB
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray, row_filters: list[int] | None = None) -> bytes:
+    """Build a real PNG (8-bit, RGB or RGBA, non-interlaced) from an
+    (h, w, 3|4) uint8 array, applying the given per-row filter types
+    (default: all 0/None). The filter math here is written FORWARD from
+    the PNG spec (filtered = raw - predictor mod 256), independent of
+    the decoder's inverse — so an encode→decode roundtrip in tests
+    exercises both directions of each filter, not one function twice."""
+    h, w, ch = pixels.shape
+    color = {3: 2, 4: 6}[ch]
+    px = pixels.astype(np.uint8)
+    filters = row_filters if row_filters is not None else [0] * h
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        cur = px[y].reshape(stride).astype(np.int32)
+        left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+        up_left = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]])
+        if f == 0:
+            pred = np.zeros(stride, dtype=np.int32)
+        elif f == 1:
+            pred = left
+        elif f == 2:
+            pred = prev
+        elif f == 3:
+            pred = (left + prev) >> 1
+        elif f == 4:
+            p = left + prev - up_left
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - up_left)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, up_left))
+        else:
+            raise ValueError(f"unknown filter {f}")
+        raw.append(f)
+        raw += ((cur - pred) % 256).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure numpy+stdlib PNG decode for the common web case: 8-bit
+    color type 2 (RGB) / 6 (RGBA), non-interlaced. Chunk walk → IDAT
+    concat → zlib inflate → per-row filter reversal (None/Sub/Up/
+    Average/Paeth). Sub rows invert via a per-lane cumsum (vectorized);
+    Average/Paeth are inherently serial in x (left-pixel dependency)."""
+    if b[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, dims = 8, bytearray(), None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color not in (2, 6) or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced RGB/RGBA PNG supported")
+            dims = (w, h, 3 if color == 2 else 4)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if dims is None:
+        raise ValueError("missing IHDR")
+    w, h, ch = dims
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-lane prefix sum reverses the left-delta
+            cur = np.cumsum(line.reshape(w, ch), axis=0, dtype=np.int64).reshape(stride) % 256
+        elif f == 2:  # Up
+            cur = (line + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: serial left dependency
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                if f == 3:
+                    pred = (a + up) >> 1
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur.astype(np.int32)
+    return w, h, out.reshape(h, w, ch)
+
+
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     payloads = pdf["payload"]
     widths, heights, nbytes, means = [], [], [], []
     for p in payloads:
         b = bytes(p)
-        if b[:2] == b"P6":
-            w, h, px = decode_ppm(b)
-            body = px.ravel()
-        elif b[:2] == b"BM":
-            w, h, px = decode_bmp(b)
-            body = px.ravel()
-        elif b[:4] == b"FAKE":
-            w, h = struct.unpack(">II", b[4:12])
-            body = np.frombuffer(b[12:], dtype=np.uint8)
-        else:  # unknown/compressed codec → metadata only
+        # Per-row isolation: a malformed body behind a known magic falls
+        # back to the metadata-only row instead of failing the task (one
+        # poison blob must not kill the job — ADVICE r3).
+        try:
+            if b[:2] == b"P6":
+                w, h, px = decode_ppm(b)
+                body = px.ravel()
+            elif b[:2] == b"BM":
+                w, h, px = decode_bmp(b)
+                body = px.ravel()
+            elif b[:8] == PNG_SIG:
+                w, h, px = decode_png(b)
+                body = px.ravel()
+            elif b[:4] == b"FAKE":
+                w, h = struct.unpack(">II", b[4:12])
+                body = np.frombuffer(b[12:], dtype=np.uint8)
+            else:  # unknown/compressed codec → metadata only
+                w = h = 0
+                body = np.frombuffer(b, dtype=np.uint8)
+        except (ValueError, struct.error, zlib.error, IndexError):
             w = h = 0
             body = np.frombuffer(b, dtype=np.uint8)
         widths.append(w)

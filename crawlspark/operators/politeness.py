@@ -43,8 +43,11 @@ def parse_robots_txt(
     ``User-agent`` lines extend the same group, so ``User-agent: a`` /
     ``User-agent: *`` / ``Disallow: /x`` applies, in either order;
     ``Disallow:`` with an empty value (allow-all) contributes nothing;
-    ``#`` comments and blank lines pass through. Non-* rules are
-    ignored (the engine identifies as the wildcard agent)."""
+    ``#`` comments and blank lines are ignored ENTIRELY (RFC 9309 §2.2
+    strips comments before parsing, so they don't break a stacked
+    user-agent run: ``User-agent: *`` / ``# note`` / ``User-agent: x``
+    keeps both agents in one group). Non-* rules are ignored (the
+    engine identifies as the wildcard agent)."""
     body = F.col(body_col)
     lines = F.split(body, "\r?\n")
     init = F.struct(
@@ -57,11 +60,16 @@ def parse_robots_txt(
         ua = F.regexp_extract(ln, r"(?i)^\s*user-agent\s*:\s*([^#\s]+)", 1)
         dis = F.regexp_extract(ln, r"(?i)^\s*disallow\s*:\s*([^#\s]*)", 1)
         is_ua = ua != ""
+        # comment / blank lines are stripped before parsing (RFC 9309):
+        # they must not end a stacked user-agent run
+        is_noise = ln.rlike(r"^\s*(#.*)?$")
         # a UA line extends the current group only if the previous line
         # was also a UA line; otherwise it starts a fresh group
         on = F.when(is_ua, (ua == "*") | (s.on & s.ua_run)).otherwise(s.on)
         acc = F.when(on & ~is_ua & (dis != ""), F.array_append(s.acc, dis)).otherwise(s.acc)
-        return F.struct(on.alias("on"), is_ua.alias("ua_run"), acc.alias("acc"))
+        return F.when(is_noise, s).otherwise(
+            F.struct(on.alias("on"), is_ua.alias("ua_run"), acc.alias("acc"))
+        )
 
     return robots_bodies.select(
         F.col(host_col).alias("host"),

@@ -298,10 +298,12 @@ def _simhash64_py(t: str | None):
     counts: dict[str, int] = {}
     for tok in t.split(" "):
         counts[tok] = counts.get(tok, 0) + 1
-    acc = _np.zeros(64, dtype=_np.int32)
+    acc = _np.zeros(64, dtype=_np.int64)
     for tok, n in counts.items():
         w = _sim_tok_weights(tok)
-        acc += w if n == 1 else w * _np.int16(n)
+        # accumulate in int64: int16 multiply silently overflows (or, on
+        # NumPy>=2, raises) when one token repeats >32767 times in a doc
+        acc += w if n == 1 else w.astype(_np.int64) * n
     return int(_SIM_POW[acc >= 0].sum())
 
 

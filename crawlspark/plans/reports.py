@@ -267,10 +267,17 @@ def update_reports(
     each under its own ``report.{name}`` cursor — independent consumers
     of one log (O30, UpdateReportsCommandHandler.cs:104-117).
     ``default_cursor`` seeds brand-new report cursors (the reference's
-    --default-cursor-value); committed cursors always win."""
-    unknown = set(names) - set(REPORTS)
+    --default-cursor-value); committed cursors always win. Names match
+    case-insensitively and unknowns list the valid set, mirroring
+    UpdateReportsCommandHandler.cs:59-75's OrdinalIgnoreCase validator."""
+    canon = {r.lower(): r for r in REPORTS}
+    unknown = [n for n in names if n.lower() not in canon]
     if unknown:
-        raise ValueError(f"unknown reports: {sorted(unknown)}")
+        raise ValueError(
+            f"Invalid report names: {', '.join(sorted(unknown))}. "
+            f"Possible report names are: {', '.join(sorted(REPORTS))}"
+        )
+    names = tuple(dict.fromkeys(canon[n.lower()] for n in names))
     store = ReportStore(report_root)
     head = pages.agg(F.max("warc_ts")).first()[0]  # the loop's ONE standalone action
     updated: dict[str, int] = {}

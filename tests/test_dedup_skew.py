@@ -90,3 +90,16 @@ def test_connected_components_long_path_converges(spark):
     pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(n)])
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A diameter > max_iter graph must fail loudly, not silently
+    return split clusters (ADVICE r3)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from crawlspark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(12)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)

@@ -10,7 +10,9 @@ from crawlspark.operators.multimodal import (
     build_media_table,
     decode_bmp,
     decode_media,
+    decode_png,
     decode_ppm,
+    encode_png,
     encode_ppm,
     frame_sample,
     media_stats,
@@ -94,6 +96,61 @@ def test_bmp_roundtrip_golden():
         assert np.array_equal(got, px)
     with pytest.raises(ValueError):
         decode_bmp(b"BM" + b"\x00" * 40)  # not 24bpp
+
+
+def test_png_roundtrip_every_filter_type():
+    """Each PNG row filter (None/Sub/Up/Average/Paeth) must invert
+    exactly; the encoder computes filtered bytes forward from the spec,
+    the decoder reverses them — both directions exercised per filter."""
+    px = _px(7, 5, seed=11)
+    for f in range(5):
+        w, h, got = decode_png(encode_png(px, row_filters=[f] * 5))
+        assert (w, h) == (7, 5), f"filter {f}"
+        assert np.array_equal(got, px), f"filter {f}"
+    # mixed filters per row (the common real-encoder output)
+    w, h, got = decode_png(encode_png(px, row_filters=[0, 1, 2, 3, 4]))
+    assert np.array_equal(got, px)
+
+
+def test_png_rgba_and_rejections():
+    rng = np.random.RandomState(5)
+    rgba = rng.randint(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    w, h, got = decode_png(encode_png(rgba, row_filters=[4, 1, 3]))
+    assert (w, h, got.shape[2]) == (4, 3, 4)
+    assert np.array_equal(got, rgba)
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n")  # no IHDR
+    # interlaced flag rejected (header says Adam7)
+    good = encode_png(rgba)
+    bad = bytearray(good)
+    bad[8 + 8 + 12] = 1  # IHDR interlace byte
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+
+
+def test_malformed_payloads_fall_back_per_row(spark):
+    """Poison blobs behind a known magic must not fail the job: each
+    lands as a metadata-only row (width=height=0) while the healthy
+    rows in the SAME batch decode fully (ADVICE r3 isolation)."""
+    from crawlspark.operators.multimodal import MEDIA_SCHEMA
+
+    good = _px(4, 4, seed=7)
+    rows = [
+        (0, "image", encode_ppm(4, 4, good)),
+        (1, "image", b"P6\n4 4\n255\n\x01\x02"),          # truncated PPM body
+        (2, "image", b"P6\n4 4\n70000\n" + b"\x00" * 96),  # 16-bit samples
+        (3, "image", b"BM" + b"\x00" * 60),                 # not 24bpp BI_RGB
+        (4, "image", b"\x89PNG\r\n\x1a\n" + b"\x00" * 30),  # bogus chunks
+        (5, "image", encode_png(good)[:40]),                # truncated PNG
+    ]
+    out = {r["media_id"]: r for r in decode_media(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ).collect()}
+    assert (out[0]["width"], out[0]["height"]) == (4, 4)
+    assert out[0]["mean_byte"] == pytest.approx(float(good.mean()))
+    for mid in (1, 2, 3, 4, 5):
+        assert (out[mid]["width"], out[mid]["height"]) == (0, 0), mid
+        assert out[mid]["n_bytes"] == len(rows[mid][2])
 
 
 def test_decode_media_handles_real_formats_and_fake_mix(spark):

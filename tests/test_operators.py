@@ -201,6 +201,13 @@ def test_parse_robots_txt_goldens(spark):
         "d.example": "User-agent: *\r\nDisallow: /crlf/ # inline\r\n",
         "e.example": "User-agent: googlebot\nDisallow: /x/\n",  # not for us
         "f.example": "",
+        # RFC 9309: comments / blank lines must not break a stacked
+        # user-agent run (ADVICE r3 — ua_run preserved through noise)
+        "g.example": (
+            "User-agent: *\n# interleaved comment\nUser-agent: otherbot\n"
+            "Disallow: /p\n"
+        ),
+        "h.example": "User-agent: otherbot\n\nUser-agent: *\nDisallow: /q\n",
     }
     df = spark.createDataFrame([Row(host=h, robots_txt=b) for h, b in bodies.items()])
     got = {r.host: list(r.disallow_prefixes) for r in parse_robots_txt(df).collect()}
@@ -210,6 +217,8 @@ def test_parse_robots_txt_goldens(spark):
     assert got["d.example"] == ["/crlf/"]
     assert got["e.example"] == []
     assert got["f.example"] == []
+    assert got["g.example"] == ["/p"]  # comment inside the UA run
+    assert got["h.example"] == ["/q"]  # blank line inside the UA run
     # parsed output feeds apply_robots directly
     cand = spark.createDataFrame([
         Row(url="https://a.example/private/x", host="a.example"),

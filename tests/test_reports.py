@@ -44,6 +44,20 @@ def test_incremental_merge_equals_full_aggregate(spark, tmp_path):
     assert got_kind == exp_kind
 
 
+def test_report_names_match_case_insensitively(spark, tmp_path):
+    """UpdateReportsCommandHandler.cs:59-75 parity: names validate with
+    OrdinalIgnoreCase; unknowns error listing the valid set."""
+    import pytest
+
+    full = pages_only(build_pages(spark, 60, n_hosts=4))
+    root = str(tmp_path / "reports")
+    counts = update_reports(spark, full, root, names=("Deleted_Pages", "PAGE_COUNT_BY_DAY"))
+    assert set(counts) == {"deleted_pages", "page_count_by_day"}  # canonical keys
+    assert ReportStore(root).read(spark, "deleted_pages").count() >= 0
+    with pytest.raises(ValueError, match=r"Invalid report names: nope.*Possible report names"):
+        update_reports(spark, full, root, names=("deleted_pages", "nope"))
+
+
 def test_second_run_with_no_delta_is_noop(spark, tmp_path):
     full = pages_only(build_pages(spark, 100, n_hosts=5))
     root = str(tmp_path / "reports")

@@ -81,7 +81,10 @@ def test_simhash_udf_matches_hof_expression(spark):
     from crawlspark.operators.textops import simhash64, simhash64_udf
 
     texts = ["hello world", "a  b", "", "café über  naïve", "x", None,
-             "the quick brown fox jumps over the lazy dog " * 8]
+             "the quick brown fox jumps over the lazy dog " * 8,
+             # one token repeated >32767 times: the int16 weight-multiply
+             # overflow class (ADVICE r3) — must stay bit-exact
+             "spam " * 40000 + "tail"]
     df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(texts)])
     rows = df.select(
         "i", simhash64(F.col("t")).alias("hof"), simhash64_udf(F.col("t")).alias("udf")
