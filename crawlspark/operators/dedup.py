@@ -355,3 +355,60 @@ def connected_components(
             "graphs normally converge in O(diameter) ≪ 25 rounds"
         )
     return labels
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level corpus dedup (the CCNet/RefinedWeb shape): split
+    each document on ``sep``, drop every paragraph that already occurred
+    earlier in the corpus — "earlier" = smallest (doc_id, position) for
+    that paragraph's hash — and reassemble what's left in original
+    order. Boilerplate (nav bars, cookie banners, license headers)
+    collapses to its first occurrence; documents reduced to nothing
+    still emit a row (empty text) so the caller sees the loss.
+
+    Returns (id, n_paras, n_kept, text_dedup).
+
+    Plan: posexplode(split) → row_number over the paragraph-hash window
+    (first occurrence wins) → re-group by doc. Two shuffles — one by
+    paragraph hash, one by doc id for reassembly — both carrying
+    (hash, id, pos, paragraph); at 100 TB the reassembly shuffle is
+    inherent (paragraph text must co-locate with its doc) and the hash
+    shuffle spreads evenly because md5 keys are uniform; a degenerate
+    all-equal corpus pins one partition, the same cap-and-spill
+    consideration as the LSH band join (minhash_lsh_pairs docstring).
+    """
+    from pyspark.sql import Window
+
+    paras = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"))
+        .where(F.col("para") != "")
+        .withColumn("h", F.md5("para"))
+    )
+    w = Window.partitionBy("h").orderBy("id", "pos")
+    kept = paras.withColumn("rn", F.row_number().over(w))
+    regrouped = (
+        kept.groupBy("id").agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda s: s.para,
+                ),
+                sep,
+            ).alias("text_dedup"),
+        )
+    )
+    return regrouped.select(
+        F.col("id").alias(id_col), "n_paras", "n_kept", "text_dedup"
+    )

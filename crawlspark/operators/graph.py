@@ -1,0 +1,112 @@
+"""Link-graph operators: fixed-iteration integer PageRank.
+
+A crawler is also a link-graph machine: the frontier's priority column
+(epoch.py dequeue ordering) is exactly where a rank signal plugs in,
+and LLM corpus pipelines weight documents by link authority
+(Common Crawl's harmonic-centrality dumps, OPIC crawl ordering).
+
+Determinism/portability: ranks are integer MICRO-units with
+floor-division at every step — addition, multiplication, and integer
+division of int64 are bit-exact in any engine and any summation order,
+so a DuckDB twin (``pagerank_sql``) can verify values exactly. A
+float PageRank's sums would differ across engines by reduction order.
+
+Semantics (documented, deliberately simple at the edges):
+  * rank starts at 1_000_000 per node;
+  * each of ``iterations`` rounds: every node divides its rank by its
+    out-degree (floor), destinations sum received contributions, and
+    new_rank = (1-d)*1e6 + floor(d * contrib_sum) with d = 0.85;
+  * nodes with no outlinks (dangling) leak their mass — the classic
+    redistribute-to-all variant needs a global scalar per round, which
+    is one extra tiny aggregate; omitted to keep the oracle small;
+  * floor-division truncation loses <1 micro-unit per edge per round —
+    irrelevant for ranking, essential for exactness.
+
+Scale shape: each round is ONE shuffle (group contributions by dst)
+plus an equi-join of the rank table with the static (src, out_deg)
+edges — the edges table never moves if both sides are pre-partitioned
+by the join key (bucketed edges at 10^10 urls). Plans are chained
+through localCheckpoint per round exactly like
+dedup.connected_components, keeping plan depth O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMP_NUM, DAMP_DEN = 85, 100          # d = 0.85 as an exact ratio
+BASE_MICRO = 1_000_000
+TELEPORT_MICRO = BASE_MICRO * (DAMP_DEN - DAMP_NUM) // DAMP_DEN  # 150000
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-``iterations`` PageRank over an edge list, integer
+    micro-units. Returns (node, rank_micro). The node set is every id
+    appearing as src or dst; duplicate edges should be pre-distinct'd
+    by the caller (they'd double-count contributions)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(BASE_MICRO).cast("long").alias("rank_micro"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(deg, ranks.node == deg.src)
+            # DIV, not `/`: Spark's / is double division, and a
+            # correctly-rounded double quotient can land one ulp ABOVE
+            # an integer boundary, breaking floor-exactness vs DuckDB //
+            .select("src", F.expr("rank_micro DIV out_deg").alias("c"))
+            .join(e, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(TELEPORT_MICRO)
+                    + F.expr(f"coalesce(s, 0) * {DAMP_NUM} DIV {DAMP_DEN}")
+                ).cast("long").alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_sql(edges_cte: str, iterations: int = 5) -> str:
+    """DuckDB twin: ``edges_cte`` is the body of a CTE producing
+    (src, dst); the fixed iteration count unrolls into chained CTEs —
+    same integer arithmetic, bit-exact against :func:`pagerank_micro`."""
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({BASE_MICRO} AS BIGINT) AS rank_micro FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+              SELECT n.node,
+                     CAST({TELEPORT_MICRO} + coalesce(s.s, 0) * {DAMP_NUM} // {DAMP_DEN}
+                          AS BIGINT) AS rank_micro
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst, sum(r.rank_micro // d.out_deg) AS s
+                FROM r{i - 1} r JOIN deg d ON r.node = d.src
+                JOIN edges e ON e.src = d.src
+                GROUP BY e.dst) s ON n.node = s.dst)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, rank_micro FROM r{iterations}"
+    )

@@ -291,6 +291,13 @@ def web_crawl(
         if cfg.max_total_urls is not None and total_final >= cfg.max_total_urls:
             break
         tmark[0] = time.time()
+        # tag every job this epoch submits — the Spark UI groups them,
+        # and event-log analysis (tools/scaling_ab.py) filters the timed
+        # epoch loop from warmup/generation jobs by prefix + state dir
+        # (the bench warmup crawls into a `warmcrawl*` temp dir)
+        spark.sparkContext.setLocalProperty(
+            "spark.job.description", f"crawl-epoch-{epoch}:{state_dir}"
+        )
 
         # 1. pending frontier: previous epoch's remainder, or the seeds.
         #    The frontier invariant guarantees pending ∩ seen = ∅, so no

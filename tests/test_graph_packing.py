@@ -1,0 +1,112 @@
+"""Unit goldens for the round-4 operators: paragraph dedup, integer
+PageRank, sequence packing — each checked against an independent
+pure-Python derivation, not just the DuckDB oracle."""
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_paragraph_dedup_first_occurrence_golden(spark):
+    from crawlspark.operators.dedup import paragraph_dedup
+
+    boiler = "accept our cookies"
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=f"{boiler}\n\nunique zero\n\nshared tail"),
+        Row(doc_id=1, text=f"{boiler}\n\nunique one"),
+        Row(doc_id=2, text=f"shared tail\n\n{boiler}\n\nunique two"),
+        Row(doc_id=3, text=boiler),                      # fully boilerplate
+        Row(doc_id=4, text=f"unique four\n\n\n\nunique four b"),  # empty para dropped
+    ])
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[0]["text_dedup"] == f"{boiler}\n\nunique zero\n\nshared tail"
+    assert (out[0]["n_paras"], out[0]["n_kept"]) == (3, 3)   # first doc keeps all
+    assert out[1]["text_dedup"] == "unique one"              # boiler seen in doc 0
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (2, 1)
+    assert out[2]["text_dedup"] == "unique two"              # both repeats dropped
+    assert out[3]["text_dedup"] == ""                        # reduced to nothing,
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (1, 0)   # ...but still emitted
+    assert out[4]["text_dedup"] == "unique four\n\nunique four b"
+    assert (out[4]["n_paras"], out[4]["n_kept"]) == (2, 2)
+
+
+def _pagerank_py(edges, iterations=5):
+    """Independent integer PageRank: dict arithmetic, same documented
+    semantics (floor div, dangling mass dropped)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(iterations):
+        recv = {n: 0 for n in nodes}
+        for s, d in edges:
+            recv[d] += rank[s] // deg[s]
+        rank = {n: 150_000 + recv[n] * 85 // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_micro_matches_python_reference(spark):
+    from crawlspark.operators.graph import pagerank_micro
+
+    # small graph with a hub (node 0), a dangling node (5), and a cycle
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1), (1, 2), (2, 3), (3, 4), (4, 1), (2, 5)]
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    got = {r["node"]: r["rank_micro"] for r in pagerank_micro(df, iterations=5).collect()}
+    assert got == _pagerank_py(edges)
+
+
+def test_pagerank_sql_twin_matches(spark):
+    import duckdb
+
+    from crawlspark.operators.graph import pagerank_micro, pagerank_sql
+
+    edges = [(i, (i * 3 + 1) % 7) for i in range(7)] + [(i, 0) for i in range(1, 7)]
+    edges = sorted(set(edges))
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    spark_ranks = {r["node"]: r["rank_micro"] for r in pagerank_micro(df, 4).collect()}
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = pagerank_sql(f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", 4)
+    duck_ranks = dict(duckdb.sql(sql).fetchall())
+    assert spark_ranks == duck_ranks
+
+
+def test_sequence_pack_offsets_and_bins(spark):
+    from crawlspark.operators.packing import sequence_pack
+
+    rows = [Row(doc_id=i, n_tok=100 + i) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    out = sequence_pack(df, max_tokens=256).collect()
+    assert len(out) == 40
+    # independent reconstruction: per-shard order is (md5(id), id)
+    by_shard: dict[str, list] = {}
+    for i in range(40):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        by_shard.setdefault(h[0], []).append((h, i))
+    exp = {}
+    for shard, docs in by_shard.items():
+        off = 0
+        for h, i in sorted(docs):
+            exp[i] = (shard, off, off // 256)
+            off += 100 + i
+    got = {r["doc_id"]: (r["shard"], r["tok_offset"], r["bin"]) for r in out}
+    assert got == exp
+    # packing is deterministic under repartitioning
+    got2 = {
+        r["doc_id"]: (r["shard"], r["tok_offset"], r["bin"])
+        for r in sequence_pack(df.repartition(7), max_tokens=256).collect()
+    }
+    assert got2 == got
+
+
+def test_sequence_pack_single_shuffle(spark):
+    """The packing plan must contain exactly one exchange (by shard) —
+    the window and projections ride the same partitioning."""
+    from crawlspark.operators.packing import sequence_pack
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 1).alias("n_tok")
+    )
+    plan = sequence_pack(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

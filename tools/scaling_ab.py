@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Round-4 scaling experiments (verdict items #3 and #4).
+
+Three questions, each answered with pinned, quiet-gated, interleaved
+runs via bench._run_level (identical protocol to bench.py):
+
+A. Did disabling AQE cause the r3 local[32] collapse (83k -> 47k
+   urls/s), or was it the documented box-oversubscription wave?
+   -> interleaved AQE-off / AQE-on triplets at local[32], same corpus.
+
+B. Is the 2->8 criterion residual (0.747 vs 0.8) the per-epoch SERIAL
+   driver share, or PROPORTIONAL task-time inflation? r3 measured the
+   efficiency as corpus-size-invariant, which argues proportional; the
+   one untried protocol lever is ONE big epoch (all pages seeded,
+   max_epochs=1): it halves the serial share per crawled URL while
+   keeping the plan identical. If efficiency jumps -> serial; if flat
+   -> proportional, and the discharge is arithmetic (experiment C).
+
+C. Event-log decomposition at the criterion pair: total task CPU time
+   and slot occupancy for the TAGGED epoch jobs only (see
+   epoch.py crawl-epoch-N job descriptions). Efficiency factors as
+     eff = (CPU_2/CPU_8) x (occ_8/occ_2)
+   so measured CPU inflation at 8 threads bounds the efficiency any
+   plan can reach on this box.
+
+Usage:  python tools/scaling_ab.py [--workdir DIR] [--skip a,b,c]
+Writes one JSON blob to stdout and to <workdir>/scaling_ab.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (the bench protocol: pinning, quiet-gating)
+
+
+def _best(samples: list[dict]) -> dict:
+    return max(samples, key=lambda r: r["urls_per_sec"])
+
+
+def exp_a_aqe_local32(corpus: str, workdir: str, reps: int = 3) -> dict:
+    out = {"aqe_off": [], "aqe_on": []}
+    for rep in range(reps):
+        # interleave off/on within each sweep: box drift hits both arms
+        r_off = bench._run_level(corpus, workdir, 32, f"a_off_{rep}", gen=False)
+        out["aqe_off"].append({"urls_per_sec": r_off["urls_per_sec"],
+                               "wall_sec": r_off["wall_sec"],
+                               "load1": r_off["load1_before"]})
+        r_on = bench._run_level(
+            corpus, workdir, 32, f"a_on_{rep}", gen=False,
+            extra_conf="spark.sql.adaptive.enabled=true;"
+                       "spark.sql.adaptive.coalescePartitions.enabled=false",
+        )
+        out["aqe_on"].append({"urls_per_sec": r_on["urls_per_sec"],
+                              "wall_sec": r_on["wall_sec"],
+                              "load1": r_on["load1_before"]})
+    out["best_off"] = _best(out["aqe_off"])["urls_per_sec"]
+    out["best_on"] = _best(out["aqe_on"])["urls_per_sec"]
+    out["on_vs_off"] = round(out["best_on"] / out["best_off"], 3)
+    return out
+
+
+def exp_b_one_big_epoch(workdir: str, reps: int = 2) -> dict:
+    """All pages seeded, max_epochs=1: same plan, half the per-URL
+    serial share. Efficiency at the criterion pair vs the 2-epoch
+    protocol answers serial-vs-proportional."""
+    corpus = os.path.join(workdir, "corpus_1ep")
+    out = {"2": [], "8": []}
+    for rep in range(reps):
+        for cpus in (2, 8):
+            r = bench._run_level(
+                corpus, workdir, cpus, f"b{cpus}_{rep}",
+                gen=(rep == 0 and cpus == 2), max_epochs=1,
+                gen_seeds=bench.CRAWL_PAGES,  # every page seeded: one big epoch
+            )
+            out[str(cpus)].append({"urls_per_sec": r["urls_per_sec"],
+                                   "wall_sec": r["wall_sec"],
+                                   "load1": r["load1_before"]})
+    b2, b8 = _best(out["2"]), _best(out["8"])
+    sp = b8["urls_per_sec"] / b2["urls_per_sec"]
+    return {**out, "speedup": round(sp, 3), "scaling_efficiency": round(sp / 4, 3)}
+
+
+def _parse_eventlog(evdir: str, cores: int) -> dict:
+    """Sum task metrics for crawl-epoch-tagged jobs from the newest
+    event log in evdir. Returns CPU s, run-time s, GC s, epoch wall s,
+    occupancy."""
+    paths = sorted(glob.glob(os.path.join(evdir, "*")), key=os.path.getmtime)
+    if not paths:
+        return {"error": "no event log"}
+    epoch_stages: set[int] = set()
+    stage_windows: dict[int, tuple[int, int]] = {}
+    stage_epoch: dict[int, str] = {}
+    cpu_ns = run_ms = gc_ms = 0
+    with open(paths[-1]) as f:
+        for line in f:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            e = ev.get("Event")
+            if e == "SparkListenerJobStart":
+                desc = (ev.get("Properties") or {}).get("spark.job.description", "")
+                if desc.startswith("crawl-epoch-") and "warmcrawl" not in desc:
+                    for si in ev.get("Stage Infos", []):
+                        epoch_stages.add(si["Stage ID"])
+                        stage_epoch[si["Stage ID"]] = desc
+            elif e == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                sid = si["Stage ID"]
+                if sid in epoch_stages and si.get("Submission Time"):
+                    stage_windows[sid] = (si["Submission Time"], si["Completion Time"])
+            elif e == "SparkListenerTaskEnd":
+                if ev.get("Stage ID") in epoch_stages:
+                    tm = ev.get("Task Metrics") or {}
+                    cpu_ns += tm.get("Executor CPU Time", 0)
+                    run_ms += tm.get("Executor Run Time", 0)
+                    gc_ms += tm.get("JVM GC Time", 0)
+    # wall per epoch = span of that epoch's stage windows (stages within
+    # an epoch overlap; epochs are strictly sequential)
+    per_epoch: dict[str, tuple[int, int]] = {}
+    for sid, (lo, hi) in stage_windows.items():
+        tag = stage_epoch[sid]
+        cur = per_epoch.get(tag)
+        per_epoch[tag] = (min(lo, cur[0]) if cur else lo, max(hi, cur[1]) if cur else hi)
+    wall_s = sum((hi - lo) for lo, hi in per_epoch.values()) / 1000.0
+    run_s = run_ms / 1000.0
+    return {
+        "cpu_s": round(cpu_ns / 1e9, 1),
+        "run_s": round(run_s, 1),
+        "gc_s": round(gc_ms / 1000.0, 1),
+        "epoch_wall_s": round(wall_s, 1),
+        "occupancy": round(run_s / (cores * wall_s), 3) if wall_s else None,
+        "n_epochs_tagged": len(per_epoch),
+    }
+
+
+def exp_c_eventlog_pair(corpus: str, workdir: str) -> dict:
+    out = {}
+    for cpus in (2, 8):
+        evdir = os.path.join(workdir, f"evlog{cpus}")
+        os.makedirs(evdir, exist_ok=True)
+        r = bench._run_level(
+            corpus, workdir, cpus, f"c{cpus}", gen=False,
+            extra_conf=(
+                f"spark.eventLog.enabled=true;spark.eventLog.dir=file://{evdir};"
+                "spark.eventLog.compress=false;spark.eventLog.rolling.enabled=false"
+            ),
+        )
+        out[str(cpus)] = {
+            "urls_per_sec": r["urls_per_sec"], "wall_sec": r["wall_sec"],
+            "load1": r["load1_before"], **_parse_eventlog(evdir, cpus),
+        }
+    c2, c8 = out["2"], out["8"]
+    if c2.get("cpu_s") and c8.get("cpu_s"):
+        out["cpu_inflation_2_to_8"] = round(c8["cpu_s"] / c2["cpu_s"], 3)
+        if c2.get("occupancy") and c8.get("occupancy"):
+            out["eff_bound_from_decomposition"] = round(
+                (c2["cpu_s"] / c8["cpu_s"]) * (c8["occupancy"] / c2["occupancy"]), 3
+            )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/dev/shm/crawlbench_ab")
+    ap.add_argument("--skip", default="", help="comma list of a,b,c to skip")
+    ap.add_argument("--reps-a", type=int, default=3)
+    ap.add_argument("--reps-b", type=int, default=2)
+    args = ap.parse_args()
+    skip = set(args.skip.split(","))
+    os.makedirs(args.workdir, exist_ok=True)
+    os.environ.setdefault("SPARK_LOCAL_DIRS", os.path.join(args.workdir, "spark_local"))
+    os.makedirs(os.environ["SPARK_LOCAL_DIRS"], exist_ok=True)
+
+    corpus = os.path.join(args.workdir, "corpus")
+    results: dict = {"corpus_pages": bench.CRAWL_PAGES}
+    # generation run (also the corpus warmer): one 8-core 2-epoch run
+    gen = bench._run_level(corpus, args.workdir, 8, "gen", gen=True)
+    results["gen_run_local8"] = {"urls_per_sec": gen["urls_per_sec"],
+                                 "load1": gen["load1_before"]}
+
+    if "c" not in skip:
+        results["c_eventlog_pair"] = exp_c_eventlog_pair(corpus, args.workdir)
+        _dump(args.workdir, results)
+    if "a" not in skip:
+        results["a_aqe_local32"] = exp_a_aqe_local32(corpus, args.workdir, args.reps_a)
+        _dump(args.workdir, results)
+    if "b" not in skip:
+        results["b_one_big_epoch"] = exp_b_one_big_epoch(args.workdir, args.reps_b)
+        _dump(args.workdir, results)
+    print(json.dumps(results, indent=2))
+
+
+def _dump(workdir: str, results: dict) -> None:
+    with open(os.path.join(workdir, "scaling_ab.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
