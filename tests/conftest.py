@@ -36,5 +36,23 @@ def staged_dir(spark, tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def crawl_run(spark, corpus_dir, tmp_path_factory):
+    """One full crawl to frontier exhaustion, shared across test modules
+    (engine-vs-simulator parity, invariants, gzip byte-identity)."""
+    from crawlspark.plans.epoch import CrawlConfig, web_crawl
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet"))
+    robots = spark.read.parquet(os.path.join(corpus_dir, "robots.parquet"))
+    budgets = spark.read.parquet(os.path.join(corpus_dir, "host_budgets.parquet"))
+    state_dir = str(tmp_path_factory.mktemp("state") / "run")
+    stats = web_crawl(
+        spark, pages, state_dir, seeds, robots=robots, host_budgets=budgets,
+        config=CrawlConfig(default_budget=8, max_epochs=20),
+    )
+    return state_dir, stats
+
+
+@pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR

@@ -23,18 +23,6 @@ def _load_inputs(spark, corpus_dir):
     return pages, seeds, robots, budgets
 
 
-@pytest.fixture(scope="session")
-def crawl_run(spark, corpus_dir, tmp_path_factory):
-    """One full crawl to frontier exhaustion, shared by the assertions."""
-    pages, seeds, robots, budgets = _load_inputs(spark, corpus_dir)
-    state_dir = str(tmp_path_factory.mktemp("state") / "run")
-    stats = web_crawl(
-        spark, pages, state_dir, seeds, robots=robots, host_budgets=budgets,
-        config=CrawlConfig(default_budget=8, max_epochs=20),
-    )
-    return state_dir, stats
-
-
 def _engine_trace(spark, state_dir):
     state = CrawlState(state_dir)
     rows = (
