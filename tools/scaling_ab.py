@@ -142,6 +142,53 @@ def _parse_eventlog(evdir: str, cores: int) -> dict:
     }
 
 
+def exp_d_pairs_decomposed(corpus: str, workdir: str, reps: int = 2,
+                           levels=(1, 2, 4, 8)) -> dict:
+    """The round-4 criterion experiment: every level gets an event-log-
+    decomposed run x reps (interleaved across levels so box drift hits
+    all arms), then each N->4N pair is scored three ways:
+      wall efficiency      = (urls/s at 4N) / (urls/s at N) / 4
+      cpu_inflation        = task CPU-seconds at 4N / at N  (same work,
+                             so >1 is pure memory-hierarchy contention —
+                             hardware, unreachable by any plan)
+      occupancy ratio      = slot occupancy at 4N / at N    (scheduling
+                             gaps + stage tails — the software share
+                             that transfers to real multi-executor runs)
+    best-of-reps per level by urls/s; decomposition taken from the best
+    run's log."""
+    out: dict = {str(n): [] for n in levels}
+    for rep in range(reps):
+        for n in levels:
+            evdir = os.path.join(workdir, f"evlog_d{n}_{rep}")
+            os.makedirs(evdir, exist_ok=True)
+            r = bench._run_level(
+                corpus, workdir, n, f"d{n}_{rep}", gen=False,
+                extra_conf=(
+                    f"spark.eventLog.enabled=true;spark.eventLog.dir=file://{evdir};"
+                    "spark.eventLog.compress=false;spark.eventLog.rolling.enabled=false"
+                ),
+            )
+            out[str(n)].append({
+                "urls_per_sec": r["urls_per_sec"], "wall_sec": r["wall_sec"],
+                "load1": r["load1_before"], **_parse_eventlog(evdir, n),
+            })
+    best = {n: _best(out[str(n)]) for n in levels}
+    pairs = {}
+    for lo in levels:
+        hi = lo * 4
+        if hi not in best:
+            continue
+        b_lo, b_hi = best[lo], best[hi]
+        p = {"urls_per_sec": (b_lo["urls_per_sec"], b_hi["urls_per_sec"]),
+             "wall_efficiency": round(b_hi["urls_per_sec"] / b_lo["urls_per_sec"] / 4, 3)}
+        if b_lo.get("cpu_s") and b_hi.get("cpu_s"):
+            p["cpu_inflation"] = round(b_hi["cpu_s"] / b_lo["cpu_s"], 3)
+            if b_lo.get("occupancy") and b_hi.get("occupancy"):
+                p["occupancy_ratio"] = round(b_hi["occupancy"] / b_lo["occupancy"], 3)
+        pairs[f"{lo}->{hi}"] = p
+    return {"levels": out, "best": {str(k): v for k, v in best.items()}, "pairs": pairs}
+
+
 def exp_c_eventlog_pair(corpus: str, workdir: str) -> dict:
     out = {}
     for cpus in (2, 8):
@@ -182,13 +229,16 @@ def main() -> None:
 
     corpus = os.path.join(args.workdir, "corpus")
     results: dict = {"corpus_pages": bench.CRAWL_PAGES}
-    # generation run (also the corpus warmer): one 8-core 2-epoch run
-    gen = bench._run_level(corpus, args.workdir, 8, "gen", gen=True)
-    results["gen_run_local8"] = {"urls_per_sec": gen["urls_per_sec"],
-                                 "load1": gen["load1_before"]}
+    if "gen" not in skip:  # generation run (also the corpus warmer)
+        gen = bench._run_level(corpus, args.workdir, 8, "gen", gen=True)
+        results["gen_run_local8"] = {"urls_per_sec": gen["urls_per_sec"],
+                                     "load1": gen["load1_before"]}
 
     if "c" not in skip:
         results["c_eventlog_pair"] = exp_c_eventlog_pair(corpus, args.workdir)
+        _dump(args.workdir, results)
+    if "d" not in skip:
+        results["d_pairs_decomposed"] = exp_d_pairs_decomposed(corpus, args.workdir)
         _dump(args.workdir, results)
     if "a" not in skip:
         results["a_aqe_local32"] = exp_a_aqe_local32(corpus, args.workdir, args.reps_a)
