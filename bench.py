@@ -146,11 +146,17 @@ def _run_level(
     event logs, codecs)."""
     load1 = _wait_quiet()
     pin = f"0-{cpus - 1}"
+    state = os.path.join(workdir, f"state_{tag}")
+    # a stale state dir from a previous harness invocation resumes an
+    # already-finished crawl into a ~0.5s no-op and records 0 urls/s
+    # (bit r4's first scaling_ab run) — every timed run starts fresh
+    import shutil
+    shutil.rmtree(state, ignore_errors=True)
     cmd = [
         "taskset", "-c", pin, sys.executable, "-m", "crawlspark.bench_crawl",
         "--cpus", str(cpus),
         "--corpus", corpus,
-        "--state", os.path.join(workdir, f"state_{tag}"),
+        "--state", state,
         "--budget", "1000000", "--max-epochs", str(max_epochs),
     ]
     if analyze:

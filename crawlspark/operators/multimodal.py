@@ -18,6 +18,12 @@ Payload formats dispatched by magic bytes in ``_decode_batch``:
                header, pixels de-padded per 4-byte row alignment
   b'\\x89PNG'  PNG, 8-bit color type 2/6 (RGB/RGBA), non-interlaced:
                IDAT inflate + None/Sub/Up/Average/Paeth unfiltering
+  b'RIFF..WAVE' WAV, PCM 16-bit (chunk walk → fmt + data): width =
+               samples per channel, height = channels, mean over the
+               SIGNED sample values — the real audio format
+  b'YUV4MPEG2' Y4M raw video (C420 planar): dims from the stream header,
+               FRAME-delimited planes; mean over all plane bytes — the
+               real (ffmpeg-interchange) video format
   b'FAKE'      deterministic synthetic header for tests/benchmarks:
                bytes 4-7 width, 8-11 height (big-endian uint32), 12+ body
   otherwise    unknown codec → metadata only (n_bytes, whole-blob mean)
@@ -64,9 +70,44 @@ def fake_media_payload(media_id: int, kind: str = "image") -> bytes:
     return b"FAKE" + struct.pack(">II", w, h) + body
 
 
-def build_media_table(spark, n: int = 64) -> DataFrame:
+def real_media_payload(media_id: int) -> bytes:
+    """Deterministic REAL-format payload, closed-form in ``media_id`` so
+    an independent oracle can derive every decoded column without
+    running any decoder: images rotate PPM/BMP/FAKE (sub = (i//3) % 3),
+    audio is mono PCM-16 WAV, video is C420 Y4M. All body bytes follow
+    the generator ``byte k = (i*31 + k*17) % 256`` (samples shifted by
+    -128); dims reuse :func:`fake_media_payload`'s formulas."""
+    i = media_id
+    kind = i % 3
+    if kind == 0:  # image
+        w, h = 16 + (i * 7) % 48, 16 + (i * 13) % 32
+        sub = (i // 3) % 3
+        if sub == 2:
+            return fake_media_payload(i)
+        px = (
+            (np.uint64(i) * 31 + np.arange(w * h * 3, dtype=np.uint64) * 17) % 256
+        ).astype(np.uint8).reshape(h, w, 3)
+        return encode_ppm(w, h, px) if sub == 0 else encode_bmp(px)
+    if kind == 1:  # audio
+        ns = 64 + (i * 11) % 64
+        samples = (
+            ((np.uint64(i) * 31 + np.arange(ns, dtype=np.uint64) * 17) % 256).astype(np.int64)
+            - 128
+        ).astype(np.int16)
+        return encode_wav(samples, rate=8000)
+    vw, vh = 16 + 2 * ((i * 7) % 8), 16 + 2 * ((i * 13) % 8)  # even dims for C420
+    nf = 1 + (i // 3) % 3
+    frame_len = vw * vh * 3 // 2
+    planes = (
+        (np.uint64(i) * 31 + np.arange(nf * frame_len, dtype=np.uint64) * 17) % 256
+    ).astype(np.uint8).reshape(nf, frame_len)
+    return encode_y4m(vw, vh, planes)
+
+
+def build_media_table(spark, n: int = 64, real: bool = False) -> DataFrame:
     kinds = ["image", "audio", "video"]
-    rows = [(i, kinds[i % 3], fake_media_payload(i, kinds[i % 3])) for i in range(n)]
+    gen = real_media_payload if real else (lambda i: fake_media_payload(i, kinds[i % 3]))
+    rows = [(i, kinds[i % 3], gen(i)) for i in range(n)]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -246,6 +287,118 @@ def decode_png(b: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, out.reshape(h, w, ch)
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Build a real 24bpp BI_RGB BMP from an (h, w, 3) RGB uint8 array:
+    BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows padded to
+    4-byte boundaries (the inverse storage order of :func:`decode_bmp`,
+    written forward from the spec so roundtrips exercise both)."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    file_size = 54 + len(data)
+    return (
+        b"BM" + struct.pack("<IHHI", file_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Build a real PCM WAV from an (n,) or (n, channels) int16 array:
+    RIFF/WAVE container with a 16-byte fmt chunk + data chunk."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()  # interleaved little-endian frames
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Pure-numpy PCM-16 WAV decode: RIFF chunk walk → fmt + data.
+    Returns (samples_per_channel, channels, rate, samples[n, ch])."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, ch, rate, _brate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only PCM 16-bit WAV supported")
+    s = np.frombuffer(data, dtype="<i2")
+    n = len(s) // ch
+    return n, ch, rate, s[: n * ch].reshape(n, ch)
+
+
+Y4M_SIG = b"YUV4MPEG2"
+
+
+def encode_y4m(width: int, height: int, frames: np.ndarray, fps: str = "25:1") -> bytes:
+    """Build a real Y4M (YUV4MPEG2, C420 planar) stream from an
+    (n_frames, width*height*3//2) uint8 plane array."""
+    if width % 2 or height % 2:
+        raise ValueError("C420 needs even dimensions")
+    frame_len = width * height * 3 // 2
+    if frames.ndim != 2 or frames.shape[1] != frame_len:
+        raise ValueError(f"frames must be (n, {frame_len})")
+    out = bytearray(f"YUV4MPEG2 W{width} H{height} F{fps} Ip A1:1 C420\n".encode())
+    for fr in frames.astype(np.uint8):
+        out += b"FRAME\n" + fr.tobytes()
+    return bytes(out)
+
+
+def decode_y4m(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Pure-numpy Y4M decode (C420 planar, the ffmpeg default):
+    stream-header tags → dims, then FRAME-delimited raw planes.
+    Returns (width, height, n_frames, planes[n_frames, frame_len])."""
+    if b[: len(Y4M_SIG)] != Y4M_SIG:
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = b.index(b"\n")
+    w = h = None
+    colorspace = "C420"
+    for tag in b[len(Y4M_SIG) : nl].split(b" "):
+        if tag.startswith(b"W"):
+            w = int(tag[1:])
+        elif tag.startswith(b"H"):
+            h = int(tag[1:])
+        elif tag.startswith(b"C"):
+            colorspace = tag.decode()
+    if w is None or h is None:
+        raise ValueError("missing W/H in Y4M header")
+    if not colorspace.startswith("C420"):
+        raise ValueError("only C420 Y4M supported")
+    frame_len = w * h * 3 // 2
+    pos, frames = nl + 1, []
+    while pos < len(b):
+        fnl = b.index(b"\n", pos)
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        frame = b[fnl + 1 : fnl + 1 + frame_len]
+        if len(frame) < frame_len:
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(frame, dtype=np.uint8))
+        pos = fnl + 1 + frame_len
+    return w, h, len(frames), np.stack(frames) if frames else np.empty((0, frame_len), np.uint8)
+
+
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     payloads = pdf["payload"]
     widths, heights, nbytes, means = [], [], [], []
@@ -264,6 +417,13 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             elif b[:8] == PNG_SIG:
                 w, h, px = decode_png(b)
                 body = px.ravel()
+            elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                n, ch, _rate, s = decode_wav(b)
+                w, h = n, ch  # width = samples/channel, height = channels
+                body = s.ravel()  # mean over SIGNED sample values
+            elif b[: len(Y4M_SIG)] == Y4M_SIG:
+                w, h, _nf, planes = decode_y4m(b)
+                body = planes.ravel()  # mean over all frames' plane bytes
             elif b[:4] == b"FAKE":
                 w, h = struct.unpack(">II", b[4:12])
                 body = np.frombuffer(b[12:], dtype=np.uint8)

@@ -201,3 +201,91 @@ def test_resize_caps_long_side_and_is_decodable(spark):
     a = sorted((r["media_id"], bytes(r["resized"])) for r in out.collect())
     b = sorted((r["media_id"], bytes(r["resized"])) for r in resize_media(media, 16).collect())
     assert a == b
+
+
+def test_wav_roundtrip_golden():
+    from crawlspark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(13)
+    mono = rng.randint(-32768, 32768, size=40, dtype=np.int16)
+    n, ch, rate, got = decode_wav(encode_wav(mono, rate=16000))
+    assert (n, ch, rate) == (40, 1, 16000)
+    assert np.array_equal(got[:, 0], mono)
+    stereo = rng.randint(-32768, 32768, size=(21, 2), dtype=np.int16)
+    n, ch, rate, got = decode_wav(encode_wav(stereo))
+    assert (n, ch, rate) == (21, 2, 8000)
+    assert np.array_equal(got, stereo)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AIFF")  # not WAVE
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav(mono)[:30])  # truncated data chunk
+
+
+def test_y4m_roundtrip_golden():
+    from crawlspark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(17)
+    frames = rng.randint(0, 256, size=(3, 6 * 4 * 3 // 2), dtype=np.uint8)
+    w, h, nf, got = decode_y4m(encode_y4m(6, 4, frames))
+    assert (w, h, nf) == (6, 4, 3)
+    assert np.array_equal(got, frames)
+    with pytest.raises(ValueError):
+        encode_y4m(5, 4, frames)  # odd width can't be C420
+    with pytest.raises(ValueError):
+        decode_y4m(encode_y4m(6, 4, frames)[:-5])  # truncated last frame
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W6 H4 C444\n")  # unsupported colorspace
+
+
+def test_decode_media_real_audio_video_rows(spark):
+    """WAV and Y4M payloads decode through the same mapInPandas path:
+    audio reports (samples, channels) in (width, height) with a SIGNED
+    sample mean; video reports header dims with the plane-byte mean;
+    poison variants of both fall back to metadata-only rows."""
+    from crawlspark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        encode_wav,
+        encode_y4m,
+    )
+
+    rng = np.random.RandomState(19)
+    samples = rng.randint(-2000, 2000, size=50, dtype=np.int16)
+    frames = rng.randint(0, 256, size=(2, 8 * 6 * 3 // 2), dtype=np.uint8)
+    rows = [
+        (0, "audio", encode_wav(samples, rate=8000)),
+        (1, "video", encode_y4m(8, 6, frames)),
+        (2, "audio", encode_wav(samples)[:20]),      # truncated WAV
+        (3, "video", encode_y4m(8, 6, frames)[:40]),  # truncated Y4M
+    ]
+    out = {r["media_id"]: r for r in decode_media(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ).collect()}
+    assert (out[0]["width"], out[0]["height"]) == (50, 1)
+    assert out[0]["mean_byte"] == pytest.approx(float(samples.mean()))
+    assert (out[1]["width"], out[1]["height"]) == (8, 6)
+    assert out[1]["mean_byte"] == pytest.approx(float(frames.mean()))
+    for mid in (2, 3):
+        assert (out[mid]["width"], out[mid]["height"]) == (0, 0), mid
+
+
+def test_real_media_table_decodes_every_row(spark):
+    """build_media_table(real=True) rows all decode to their closed-form
+    metadata — the corpus behind the multimodal_decode oracle."""
+    from crawlspark.operators.multimodal import build_media_table, decode_media
+
+    out = {r["media_id"]: r for r in decode_media(
+        build_media_table(spark, 36, real=True)
+    ).collect()}
+    assert len(out) == 36
+    for i, r in out.items():
+        if i % 3 == 0:  # image: PPM/BMP/FAKE all carry the same dims
+            assert r["width"] == 16 + (i * 7) % 48, i
+            assert r["height"] == 16 + (i * 13) % 32, i
+        elif i % 3 == 1:  # audio: mono, 64 + (i*11) % 64 samples
+            assert r["width"] == 64 + (i * 11) % 64, i
+            assert r["height"] == 1, i
+            assert -128.0 <= r["mean_byte"] <= 127.0, i
+        else:  # video: even header dims
+            assert r["width"] == 16 + 2 * ((i * 7) % 8), i
+            assert r["height"] == 16 + 2 * ((i * 13) % 8), i

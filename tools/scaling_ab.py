@@ -95,12 +95,27 @@ def _parse_eventlog(evdir: str, cores: int) -> dict:
     paths = sorted(glob.glob(os.path.join(evdir, "*")), key=os.path.getmtime)
     if not paths:
         return {"error": "no event log"}
+    if os.path.isdir(paths[-1]):  # Spark 4 rolling layout: events_N_appid files
+        paths = sorted(
+            glob.glob(os.path.join(paths[-1], "events_*")),
+            key=lambda p: int(os.path.basename(p).split("_")[1]),
+        )
+        if not paths:
+            return {"error": "no events_* file in rolling dir"}
+    else:
+        paths = paths[-1:]  # flat layout: newest run's single file only
     epoch_stages: set[int] = set()
     stage_windows: dict[int, tuple[int, int]] = {}
     stage_epoch: dict[int, str] = {}
     cpu_ns = run_ms = gc_ms = 0
-    with open(paths[-1]) as f:
-        for line in f:
+
+    def _lines():
+        for p in paths:
+            with open(p) as f:
+                yield from f
+
+    if True:  # keep the original loop body's indentation
+        for line in _lines():
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
