@@ -264,6 +264,97 @@ def run_crawl_scaling(workdir: str) -> dict:
     return out
 
 
+def _r4_experiments_md() -> list[str]:
+    """Render the round-4 A/B/D experiment record (tools/scaling_ab.py →
+    BENCH/scaling_abc_r04.json) into the baseline doc, so the findings
+    survive bench.py regenerating the file."""
+    path = os.path.join(REPO, "BENCH", "scaling_abc_r04.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        r = json.load(f)
+    lines = ["", "### Round-4 experiments: AQE A/B, one-big-epoch, decomposition", ""]
+    a = r.get("a_aqe_local32")
+    if a:
+        offs = "/".join(f"{x['urls_per_sec'] / 1000:.0f}k" for x in a["aqe_off"])
+        ons = "/".join(f"{x['urls_per_sec'] / 1000:.0f}k" for x in a["aqe_on"])
+        lines += [
+            f"**A. local[32] AQE A/B (interleaved triplets, same corpus):** "
+            f"AQE-off {offs}, AQE-on {ons} urls/s; best-of ratio on/off = "
+            f"{a['on_vs_off']}. Within-arm spread is ~2x while the arms are "
+            f"equal — the r3 local[32] '44% regression' (83k → 47k) was the "
+            f"documented box-oversubscription wave, not the AQE-off change; "
+            f"the 83-95k level reappears in both arms. AQE stays off for the "
+            f"crawl loop (fewer driver re-plan gaps at low core counts, "
+            f"no cost at 32).",
+            "",
+        ]
+    b = r.get("b_one_big_epoch")
+    if b:
+        lines += [
+            f"**B. One big epoch (all pages seeded, max_epochs=1 — halves the "
+            f"per-URL serial driver share):** criterion-pair efficiency "
+            f"{b['scaling_efficiency']} vs the 2-epoch protocol's ~0.70-0.75 "
+            f"band. FLAT — the 2→8 residual is NOT the per-epoch serial "
+            f"driver share (Amdahl would have moved it); it is proportional "
+            f"task-time inflation, matching the event-log decomposition below.",
+            "",
+        ]
+    c = r.get("c_eventlog_pair")
+    if c and c.get("cpu_inflation_2_to_8"):
+        c2, c8 = c["2"], c["8"]
+        lines += [
+            f"**C. Event-log decomposition of the criterion pair (tagged "
+            f"crawl-epoch jobs only):** task CPU-seconds for the IDENTICAL "
+            f"work inflate **{c['cpu_inflation_2_to_8']}x** at 8 threads vs 2 "
+            f"({c2['cpu_s']} → {c8['cpu_s']} s; GC share "
+            f"{c2['gc_s'] / c2['run_s']:.0%} → {c8['gc_s'] / c8['run_s']:.0%}), "
+            f"slot occupancy {c2['occupancy']} → {c8['occupancy']}. "
+            f"Efficiency factorizes as (CPU_N/CPU_4N) x (occ_4N/occ_N) = "
+            f"{c['eff_bound_from_decomposition']} for this sample (measured "
+            f"wall efficiency that run: "
+            f"{c8['urls_per_sec'] / c2['urls_per_sec'] / 4:.3f} — consistent). "
+            f"The 1/{c['cpu_inflation_2_to_8']} hardware term alone bounds "
+            f"ANY plan at ~{1 / c['cpu_inflation_2_to_8']:.2f} on this box.",
+            "",
+        ]
+    d = r.get("d_pairs_decomposed")
+    if d:
+        lines += [
+            "**D. Per-level event-log decomposition** (best-of per level; "
+            "wall efficiency factored as eff = cpu_ratio x occupancy_ratio, "
+            "where cpu_ratio = task-CPU at N / at 4N for identical work — "
+            "memory-hierarchy inflation no plan can remove — and "
+            "occupancy_ratio = slot occupancy at 4N / at N — scheduling "
+            "gaps/stage tails, the software share):",
+            "",
+            "| pair | urls/s | wall eff | cpu inflation | occupancy ratio |",
+            "|---|---|---|---|---|",
+        ]
+        for pair, p in d.get("pairs", {}).items():
+            lo, hi = p["urls_per_sec"]
+            lines.append(
+                f"| {pair} | {lo / 1000:.1f}k → {hi / 1000:.1f}k | "
+                f"{p.get('wall_efficiency', '-')} | {p.get('cpu_inflation', '-')} | "
+                f"{p.get('occupancy_ratio', '-')} |"
+            )
+        best = d.get("best", {})
+        occ = {n: v.get("occupancy") for n, v in best.items()}
+        cpu = {n: v.get("cpu_s") for n, v in best.items()}
+        lines += [
+            "",
+            f"Per-level best-run metrics: occupancy {occ}, task-CPU s {cpu}.",
+            "A cpu_inflation of X bounds wall efficiency at 1/X even with "
+            "perfect occupancy: the same stages burn X times the cycles when "
+            "4x the threads share one socket's L3/memory channels. On a real "
+            "cluster, 4x the EXECUTORS adds sockets instead of dividing one, "
+            "so the hardware term vanishes and the plan-attributable ceiling "
+            "is the occupancy ratio alone.",
+            "",
+        ]
+    return lines
+
+
 def write_bench_md(crawl: dict, queries: dict[str, float], controls: list[float] | None = None) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -412,6 +503,7 @@ def write_bench_md(crawl: dict, queries: dict[str, float], controls: list[float]
         "counts are fixed by protocol, skew is hand-managed; AQE executed",
         "every exchange as its own job with a driver re-plan gap between —",
         "one consolidated job per epoch now, ~12 before).",
+        *_r4_experiments_md(),
         "",
         f"## Headline queries at {SF_DIR} (local[{CPUS}])",
         "",
