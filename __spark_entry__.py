@@ -1897,6 +1897,106 @@ def _q_crawl_mini_epoch(spark, sf_dir):
 _register("crawl_mini_epoch", _q_crawl_mini_epoch, None)
 
 
+# -- exact substring dedup (Lee et al. 2022 ExactSubstr) ---------------------
+# Registered past the driver's 50-entry check window (which is full of
+# older exact-oracled queries — evicting one would lose ITS driver
+# evidence). Their exact DuckDB twins therefore live in
+# tail_oracle_sql(), not oracle_sql(): the driver never sees them (it
+# would record nothing for entries past the window anyway), while the
+# pytest gate (tests/test_oracle_parity.py) runs them with the same
+# compare as every windowed oracle.
+_SUBSTR_K = 40
+_TAIL_ORACLES: dict[str, str] = {}
+
+
+def _q_duplicate_spans(spark, sf_dir):
+    """Maximal corpus-wide duplicated character spans per document
+    (dedup.duplicate_spans, k=40)."""
+    from crawlspark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_spans(d, k=_SUBSTR_K)
+
+
+def _q_strip_duplicate_spans(spark, sf_dir):
+    """Documents with every duplicated span removed
+    (dedup.strip_duplicate_spans, k=40)."""
+    from crawlspark.operators.dedup import strip_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_duplicate_spans(d, k=_SUBSTR_K)
+
+
+_SPANS_CTE = f"""
+  g AS (
+    SELECT doc_id AS id, p AS pos, substr(text, p + 1, {_SUBSTR_K}) AS gr
+    FROM documents, LATERAL unnest(generate_series(0, len(text) - {_SUBSTR_K}))
+         AS u(p)
+    WHERE len(text) >= {_SUBSTR_K}),
+  d AS (
+    SELECT id, pos
+    FROM (SELECT *, count(*) OVER (PARTITION BY gr) AS c FROM g)
+    WHERE c > 1),
+  i AS (
+    SELECT id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                  OR pos > lag(pos) OVER w + {_SUBSTR_K} THEN 1 ELSE 0 END AS ni
+    FROM d WINDOW w AS (PARTITION BY id ORDER BY pos)),
+  s AS (
+    SELECT *, sum(ni) OVER (PARTITION BY id ORDER BY pos) AS island FROM i),
+  spans AS (
+    SELECT id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_SUBSTR_K} AS BIGINT) AS span_end
+    FROM s GROUP BY id, island)
+"""
+
+_register("duplicate_spans", _q_duplicate_spans, None)
+# independent derivation: LATERAL generate_series grams, window
+# count, gaps-and-islands via lag — vs Spark's transform-array +
+# posexplode + running-sum islands
+_TAIL_ORACLES["duplicate_spans"] = f"""
+    WITH {_SPANS_CTE}
+    SELECT id AS doc_id, span_start, span_end,
+           span_end - span_start AS span_len
+    FROM spans
+    """
+
+_register("strip_duplicate_spans", _q_strip_duplicate_spans, None)
+_TAIL_ORACLES["strip_duplicate_spans"] = f"""
+    WITH {_SPANS_CTE},
+    gaps AS (
+      SELECT id,
+             coalesce(lag(span_end) OVER (PARTITION BY id ORDER BY span_start),
+                      0) AS seg_start,
+             span_start AS seg_end
+      FROM spans),
+    per_doc AS (
+      SELECT id, max(span_end) AS tail_start, count(*) AS n_spans,
+             sum(span_end - span_start) AS removed
+      FROM spans GROUP BY id),
+    segs AS (
+      SELECT id, seg_start, seg_end FROM gaps
+      UNION ALL
+      SELECT id, tail_start, NULL FROM per_doc),
+    pieces AS (
+      SELECT sg.id, sg.seg_start,
+             substr(dd.text, CAST(sg.seg_start + 1 AS INT),
+                    CAST(coalesce(sg.seg_end, len(dd.text)) - sg.seg_start
+                         AS INT)) AS piece
+      FROM segs sg JOIN documents dd ON dd.doc_id = sg.id),
+    rebuilt AS (
+      SELECT id, string_agg(piece, '' ORDER BY seg_start) AS text_clean
+      FROM pieces GROUP BY id)
+    SELECT dd.doc_id,
+           coalesce(r.text_clean, dd.text) AS text_clean,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.removed, 0) AS BIGINT) AS removed_chars
+    FROM documents dd
+    LEFT JOIN rebuilt r ON r.id = dd.doc_id
+    LEFT JOIN per_doc p ON p.id = dd.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1919,3 +2019,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+def tail_oracle_sql() -> dict[str, str]:
+    """Exact DuckDB twins for queries registered PAST the driver's
+    50-entry window (window full of older oracled queries — see the
+    queries() docstring). Not part of the driver contract; the pytest
+    parity gate runs these with the identical compare."""
+    return dict(_TAIL_ORACLES)

@@ -412,3 +412,154 @@ def paragraph_dedup(
     return regrouped.select(
         F.col("id").alias(id_col), "n_paras", "n_kept", "text_dedup"
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    use_hash: bool = False,
+) -> DataFrame:
+    """Exact substring-duplicate spans — the ExactSubstr dedup of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") re-expressed as DataFrame ops instead of a corpus suffix
+    array: a character k-gram is *duplicated* when the identical k
+    characters occur at >= 2 (doc, offset) positions corpus-wide;
+    per document, overlapping/touching duplicated k-grams merge into
+    maximal spans [span_start, span_end) of 0-based char offsets.
+
+    Returns (id, span_start, span_end, span_len), one row per maximal
+    span.
+
+    Plan: per-row k-gram array (built inside one transform expression,
+    so the full text never rides through the explode) → narrow
+    (id, pos, gram) projection → duplicate marking via one count
+    window on the gram key → per-doc gaps-and-islands merge (lag +
+    running sum). Two shuffles: one by gram key, one by doc id.
+
+    Scale: stride-1 char grams are O(total chars) rows — the suffix
+    array's exact coverage without its global sort. At 100 TB set
+    ``use_hash=True`` (shuffle 8-byte xxhash64 keys instead of k-char
+    strings; a 64-bit collision can only over-mark a gram as
+    duplicated, never miss one) and pre-gate docs through
+    ``winnow_fingerprint`` buckets so only documents sharing a
+    fingerprint pay the gram explode. A degenerate all-equal corpus
+    pins one gram partition — the same cap-and-spill consideration as
+    ``minhash_lsh_pairs``."""
+    from pyspark.sql import Window
+
+    gram_arr = F.transform(
+        F.sequence(F.lit(0), F.length(text_col) - k),
+        lambda p: F.col(text_col).substr(p + F.lit(1), F.lit(k)),
+    )
+    grams = (
+        docs.where(F.length(text_col) >= k)
+        .select(F.col(id_col).alias("id"), F.posexplode(gram_arr).alias("pos", "g"))
+    )
+    key = F.xxhash64("g") if use_hash else F.col("g")
+    dup = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy(key)))
+        .where(F.col("c") > 1)
+        .select("id", "pos")
+    )
+    wd = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(wd)
+    isl = dup.withColumn(
+        "ni", F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
+    ).withColumn("island", F.sum("ni").over(wd))
+    return (
+        isl.groupBy("id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Remove every span found by ``duplicate_spans`` from every
+    document — the conservative ExactSubstr policy (all copies go;
+    Lee et al. measured that keeping zero copies of long duplicated
+    substrings does not hurt LM quality, and it makes the operator a
+    pure function of the span set — no global first-occurrence tie
+    break, hence embarrassingly parallel).
+
+    Returns (id, text_clean, n_spans, removed_chars); documents with
+    no duplicated spans pass through unchanged.
+
+    Plan: spans → per-doc gap segments via lag(span_end) plus one tail
+    segment per doc → substr the segments out of the original text →
+    order-preserving reassembly (array_sort over (seg_start, piece)
+    structs, the paragraph_dedup shape). One extra join against the
+    docs table and one reassembly shuffle by doc id — both inherent
+    (segment text must co-locate with its doc)."""
+    from pyspark.sql import Window
+
+    if spans is None:
+        spans = duplicate_spans(docs, id_col=id_col, text_col=text_col, k=k)
+    s = spans.select(F.col(id_col).alias("id"), "span_start", "span_end")
+    wd = Window.partitionBy("id").orderBy("span_start")
+    gaps = s.select(
+        "id",
+        F.coalesce(F.lag("span_end").over(wd), F.lit(0)).alias("seg_start"),
+        F.col("span_start").alias("seg_end"),
+    )
+    per_doc = s.groupBy("id").agg(
+        F.max("span_end").alias("tail_start"),
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("removed_chars"),
+    )
+    segs = gaps.unionByName(
+        per_doc.select(
+            "id",
+            F.col("tail_start").alias("seg_start"),
+            F.lit(None).cast("long").alias("seg_end"),
+        )
+    )
+    pieces = (
+        segs.join(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id"
+        )
+        .select(
+            "id",
+            "seg_start",
+            F.col("t")
+            .substr(
+                F.col("seg_start") + F.lit(1),
+                F.coalesce("seg_end", F.length("t")) - F.col("seg_start"),
+            )
+            .alias("piece"),
+        )
+    )
+    rebuilt = pieces.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_start", "piece"))),
+                lambda x: x.piece,
+            ),
+            "",
+        ).alias("text_clean")
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .join(rebuilt.join(per_doc, "id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_clean", "t").alias("text_clean"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("removed_chars", F.lit(0)).cast("long").alias("removed_chars"),
+        )
+    )

@@ -103,3 +103,80 @@ def test_connected_components_raises_on_non_convergence(spark):
     pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(12)])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=2)
+
+
+# -- exact substring dedup (ExactSubstr, Lee et al. 2022) --------------------
+
+
+def _substr_corpus(spark):
+    """Four docs: 0 and 1 share a planted 60-char block at known
+    offsets; 2 is unique; 3 is shorter than k (never grams)."""
+    planted = "the quick brown fox jumps over the lazy dog again and again!"  # 60 chars
+    assert len(planted) == 60
+    rows = [
+        (0, "a" * 25 + planted + "b" * 25),          # span at [25, 85)
+        # NOTE: fillers must not self-repeat — a run like "z"*60 contains
+        # duplicated 40-grams WITHIN one doc, which ExactSubstr counts
+        (1, planted + "pad without any internal forty-char repeat"),
+        (2, "totally unique content with no repeated forty-char block anywhere"),
+        (3, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_planted_block(spark):
+    from crawlspark.operators.dedup import duplicate_spans
+
+    docs = _substr_corpus(spark)
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.span_len)
+        for r in duplicate_spans(docs, k=40).collect()
+    }
+    # the planted 60-char block yields 21 duplicated 40-gram starts that
+    # merge into ONE maximal span covering exactly the block
+    assert got == {0: (25, 85, 60), 1: (0, 60, 60)}
+
+
+def test_duplicate_spans_hash_path_matches_string_path(spark):
+    from crawlspark.operators.dedup import duplicate_spans
+
+    docs = _substr_corpus(spark)
+    a = sorted(map(tuple, duplicate_spans(docs, k=40, use_hash=False).collect()))
+    b = sorted(map(tuple, duplicate_spans(docs, k=40, use_hash=True).collect()))
+    assert a == b
+
+
+def test_strip_duplicate_spans_accounting(spark):
+    from crawlspark.operators.dedup import strip_duplicate_spans
+
+    docs = _substr_corpus(spark)
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    out = {r.doc_id: r for r in strip_duplicate_spans(docs, k=40).collect()}
+    assert set(out) == set(orig)  # every doc emits exactly one row
+    for i, r in out.items():
+        # removed_chars is exact: cleaned length + removed == original
+        assert len(r.text_clean) + r.removed_chars == len(orig[i])
+    assert out[0].text_clean == "a" * 25 + "b" * 25
+    assert out[1].text_clean == "pad without any internal forty-char repeat"
+    assert out[2].n_spans == 0 and out[2].text_clean == orig[2]
+    assert out[3].n_spans == 0 and out[3].text_clean == orig[3]
+
+
+def test_duplicate_spans_merges_overlapping_islands(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from crawlspark.operators.dedup import duplicate_spans
+
+    # two copies of an 80-char block: duplicated 40-grams start at every
+    # offset 0..40 — all overlap, ONE span per doc, not 41
+    block = ("pack my box with five dozen liquor jugs " * 2)  # 80 chars
+    docs = spark.createDataFrame(
+        [(0, block + "tail one"), (1, block + "other tail")],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, k=40).collect()
+    per_doc = {}
+    for r in spans:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for i, ss in per_doc.items():
+        assert len(ss) == 1, f"doc {i}: expected one merged span, got {ss}"
+        assert (ss[0].span_start, ss[0].span_end) == (0, 80)

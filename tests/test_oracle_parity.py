@@ -64,7 +64,10 @@ def _kind(t: str) -> str:
     return t
 
 
-ORACLED = sorted(entrymod.oracle_sql().keys())
+# windowed oracles (driver contract) + tail oracles (pytest-only; the
+# driver's 50-entry window is full) get the identical value compare
+_ALL_SQL = {**entrymod.oracle_sql(), **entrymod.tail_oracle_sql()}
+ORACLED = sorted(_ALL_SQL.keys())
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLED))
 
 
@@ -74,7 +77,7 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     spark_rows = sdf.collect()
     spark_cols = sdf.columns
 
-    rel = duck.sql(entrymod.oracle_sql()[name])
+    rel = duck.sql(_ALL_SQL[name])
     duck_cols = [c for c in rel.columns]
     duck_types = {c: _kind(str(t)) for c, t in zip(rel.columns, rel.types)}
     duck_rows = rel.fetchall()
