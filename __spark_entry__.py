@@ -1997,6 +1997,76 @@ _TAIL_ORACLES["strip_duplicate_spans"] = f"""
     """
 
 
+# -- sitemap parsing (crawl seed discovery) ----------------------------------
+# synthetic bodies keyed by doc_id % 6, the robots_parse pattern: every
+# template exercises a parser branch (namespaced urlset, whitespace loc,
+# sitemapindex, CDATA, empty document, uppercase+CRLF tags+junk priority)
+_SITEMAP_BODIES = [
+    '<?xml version="1.0"?>\n'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+    "<url><loc>https://s0.example/p1</loc><lastmod>2024-01-02</lastmod>"
+    "<changefreq>daily</changefreq><priority>0.8</priority></url>\n"
+    "<url><loc> https://s0.example/p2 </loc><priority>0.55</priority></url>\n"
+    "</urlset>",
+    "<sitemapindex><sitemap><loc>https://s1.example/a.xml</loc>"
+    "<lastmod>2024-02-03T04:05:06+00:00</lastmod></sitemap>"
+    "<sitemap><loc>https://s1.example/b.xml</loc></sitemap></sitemapindex>",
+    "<urlset><url><loc><![CDATA[https://s2.example/x?a=1&b=2]]></loc>"
+    "<priority>1.0</priority></url></urlset>",
+    "<urlset></urlset>",
+    "<URLSET>\r\n<URL><LOC>https://s4.example/up</LOC>"
+    "<PRIORITY>junk</PRIORITY><CHANGEFREQ>weekly</CHANGEFREQ></URL>\r\n</URLSET>",
+    "<urlset><url><lastmod>2024-05-06</lastmod></url>"  # no loc → dropped
+    "<url><loc>https://s5.example/only</loc></url></urlset>",
+]
+
+
+def _q_sitemap_parse(spark, sf_dir):
+    """Sitemap XML parsing (sitemaps.parse_sitemaps): expression-only
+    urlset / sitemapindex block parse → one seed row per <loc>."""
+    from crawlspark.operators.sitemaps import parse_sitemaps
+
+    n = len(_SITEMAP_BODIES)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit(".example")).alias("host"),
+        F.element_at(
+            F.array(*[F.lit(b) for b in _SITEMAP_BODIES]),
+            (F.col("doc_id") % n + 1).cast("int"),
+        ).alias("sitemap_xml"),
+    )
+    return parse_sitemaps(docs)
+
+
+_register("sitemap_parse", _q_sitemap_parse, None)
+_SITEMAP_LITS = ", ".join("'" + b.replace("'", "''") + "'" for b in _SITEMAP_BODIES)
+# independent derivation: per-block LATERAL unnest over string_split_regex
+# vs Spark's transform-array + explode_outer
+_TAIL_ORACLES["sitemap_parse"] = f"""
+  WITH hosts AS (
+    SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example' AS host,
+           list_value({_SITEMAP_LITS})[CAST(doc_id % {len(_SITEMAP_BODIES)} AS INT) + 1] AS body
+    FROM documents),
+  blocks AS (
+    SELECT host,
+           CASE WHEN regexp_matches(body, '(?is)<\\s*sitemapindex')
+                THEN 'sitemapindex' ELSE 'urlset' END AS kind,
+           unnest(string_split_regex(body, '(?i)</url\\s*>|</sitemap\\s*>')) AS bl
+    FROM hosts),
+  fields AS (
+    SELECT host, kind,
+           regexp_replace(trim(regexp_extract(bl, '(?is)<loc\\s*>(.*?)</loc\\s*>', 1)),
+                          '(?s)^<!\\[CDATA\\[(.*)\\]\\]>$', '\\1') AS loc,
+           nullif(regexp_extract(bl, '(?is)<lastmod\\s*>\\s*([^<]*?)\\s*</lastmod\\s*>', 1), '') AS lastmod,
+           nullif(regexp_extract(bl, '(?is)<changefreq\\s*>\\s*([^<]*?)\\s*</changefreq\\s*>', 1), '') AS changefreq,
+           CAST(round(TRY_CAST(
+             nullif(regexp_extract(bl, '(?is)<priority\\s*>\\s*([^<]*?)\\s*</priority\\s*>', 1), '')
+             AS DOUBLE) * 1000) AS INT) AS priority_milli
+    FROM blocks)
+  SELECT host, kind, trim(loc) AS loc, lastmod, changefreq, priority_milli
+  FROM fields WHERE trim(loc) <> ''
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

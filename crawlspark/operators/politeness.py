@@ -47,18 +47,25 @@ def parse_robots_txt(
     strips comments before parsing, so they don't break a stacked
     user-agent run: ``User-agent: *`` / ``# note`` / ``User-agent: x``
     keeps both agents in one group). Non-* rules are ignored (the
-    engine identifies as the wildcard agent)."""
+    engine identifies as the wildcard agent).
+
+    Also captures the de-facto ``Crawl-delay:`` directive for groups
+    that apply to us (last occurrence wins) as ``crawl_delay_s``
+    (double seconds, NULL when absent) — feed it to
+    :func:`budgets_from_crawl_delay` for per-host token budgets."""
     body = F.col(body_col)
     lines = F.split(body, "\r?\n")
     init = F.struct(
         F.lit(False).alias("on"),        # inside a group that includes *
         F.lit(False).alias("ua_run"),    # previous line was a User-agent line
         F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("cd"),
     )
 
     def step(s, ln):
         ua = F.regexp_extract(ln, r"(?i)^\s*user-agent\s*:\s*([^#\s]+)", 1)
         dis = F.regexp_extract(ln, r"(?i)^\s*disallow\s*:\s*([^#\s]*)", 1)
+        cdv = F.regexp_extract(ln, r"(?i)^\s*crawl-delay\s*:\s*([0-9]*\.?[0-9]+)", 1)
         is_ua = ua != ""
         # comment / blank lines are stripped before parsing (RFC 9309):
         # they must not end a stacked user-agent run
@@ -67,13 +74,45 @@ def parse_robots_txt(
         # was also a UA line; otherwise it starts a fresh group
         on = F.when(is_ua, (ua == "*") | (s.on & s.ua_run)).otherwise(s.on)
         acc = F.when(on & ~is_ua & (dis != ""), F.array_append(s.acc, dis)).otherwise(s.acc)
+        cd = F.when(on & ~is_ua & (cdv != ""), cdv).otherwise(s.cd)
         return F.when(is_noise, s).otherwise(
-            F.struct(on.alias("on"), is_ua.alias("ua_run"), acc.alias("acc"))
+            F.struct(on.alias("on"), is_ua.alias("ua_run"), acc.alias("acc"), cd.alias("cd"))
         )
 
+    # fold once into a struct column, pick fields in a SECOND select:
+    # two downstream references stop CollapseProject from inlining the
+    # whole line fold into each output column (the winnow barrier trick)
+    folded = F.aggregate(
+        lines, init, step, lambda s: F.struct(s.acc.alias("acc"), s.cd.alias("cd"))
+    )
     return robots_bodies.select(
-        F.col(host_col).alias("host"),
-        F.aggregate(lines, init, step, lambda s: s.acc).alias("disallow_prefixes"),
+        F.col(host_col).alias("host"), folded.alias("__r")
+    ).select(
+        "host",
+        F.col("__r.acc").alias("disallow_prefixes"),
+        F.col("__r.cd").cast("double").alias("crawl_delay_s"),
+    )
+
+
+def budgets_from_crawl_delay(
+    robots: DataFrame, epoch_seconds: float, min_tokens: int = 1
+) -> DataFrame:
+    """Per-host politeness budgets from parsed ``Crawl-delay`` values:
+    ``tokens_per_epoch = floor(epoch_seconds / delay)``, clamped to at
+    least ``min_tokens`` so an absurd delay still makes progress. Hosts
+    without a delay are absent from the result (they get the caller's
+    ``default_budget``). The output is the ``host_budgets`` table shape
+    consumed by :func:`topk_per_host_split` — one tiny row per host,
+    broadcast at the dequeue join."""
+    return (
+        robots.where(F.col("crawl_delay_s").isNotNull() & (F.col("crawl_delay_s") > 0))
+        .select(
+            "host",
+            F.greatest(
+                F.floor(F.lit(float(epoch_seconds)) / F.col("crawl_delay_s")),
+                F.lit(min_tokens),
+            ).cast("int").alias("tokens_per_epoch"),
+        )
     )
 
 
@@ -88,7 +127,10 @@ def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
         F.coalesce(F.col("disallow_prefixes"), F.array().cast("array<string>")),
         lambda p: path_of(F.col("url")).startswith(p),
     )
-    return joined.where(~blocked).drop("disallow_prefixes")
+    # drop() ignores absent columns, so both robots shapes — the bare
+    # (host, disallow_prefixes) cache and parse_robots_txt's output with
+    # crawl_delay_s — pass through without widening the candidate schema
+    return joined.where(~blocked).drop("disallow_prefixes", "crawl_delay_s")
 
 
 def topk_per_host_split(

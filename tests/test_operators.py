@@ -237,3 +237,45 @@ def test_parse_robots_txt_is_expression_only(spark):
     df = spark.createDataFrame([Row(host="h", robots_txt="User-agent: *\nDisallow: /a")])
     plan = parse_robots_txt(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan  # no UDF in the parse
+
+
+def test_parse_robots_crawl_delay_and_budgets(spark):
+    from pyspark.sql import Row
+
+    from crawlspark.operators.politeness import (
+        budgets_from_crawl_delay,
+        parse_robots_txt,
+    )
+
+    bodies = {
+        # delay in our group
+        "a.example": "User-agent: *\nCrawl-delay: 10\nDisallow: /p\n",
+        # delay only in someone else's group → ignored
+        "b.example": "User-agent: googlebot\nCrawl-delay: 1\nUser-agent: *\nDisallow: /q\n",
+        # fractional delay, last occurrence wins across applicable groups
+        "c.example": (
+            "User-agent: *\nCrawl-delay: 2\n\n"
+            "User-agent: x\nUser-agent: *\nCrawl-delay: 0.5\n"
+        ),
+        # no delay anywhere
+        "d.example": "User-agent: *\nDisallow: /r\n",
+    }
+    df = spark.createDataFrame([Row(host=h, robots_txt=b) for h, b in bodies.items()])
+    parsed = parse_robots_txt(df)
+    got = {r.host: r.crawl_delay_s for r in parsed.collect()}
+    assert got == {"a.example": 10.0, "b.example": None, "c.example": 0.5,
+                   "d.example": None}
+    # disallow parsing is unchanged by the delay lines
+    dis = {r.host: list(r.disallow_prefixes) for r in parsed.collect()}
+    assert dis["a.example"] == ["/p"] and dis["b.example"] == ["/q"]
+
+    budgets = {r.host: r.tokens_per_epoch
+               for r in budgets_from_crawl_delay(parsed, epoch_seconds=60).collect()}
+    # floor(60/10)=6; floor(60/0.5)=120; no-delay hosts absent
+    assert budgets == {"a.example": 6, "c.example": 120}
+    # min_tokens clamp: a day-long delay still crawls one url per epoch
+    huge = spark.createDataFrame(
+        [("z", [], 86400.0)],
+        "host string, disallow_prefixes array<string>, crawl_delay_s double",
+    )
+    assert budgets_from_crawl_delay(huge, epoch_seconds=60).first().tokens_per_epoch == 1

@@ -1,0 +1,70 @@
+"""Sitemap XML parsing goldens: urlset vs sitemapindex, CDATA, CRLF,
+uppercase tags, junk priority, empty documents — and the guard that the
+parse stays expression-only (no UDF, no shuffle)."""
+
+from crawlspark.operators.sitemaps import parse_sitemaps
+
+BODIES = [
+    (
+        "a.example",
+        '<?xml version="1.0"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc>https://a.example/p1</loc><lastmod>2024-01-02</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>\n"
+        "<url><loc> https://a.example/p2 </loc></url>\n"
+        "</urlset>",
+    ),
+    (
+        "b.example",
+        "<sitemapindex><sitemap><loc>https://b.example/s1.xml</loc>"
+        "<lastmod>2024-02-03T04:05:06+00:00</lastmod></sitemap>"
+        "<sitemap><loc>https://b.example/s2.xml</loc></sitemap></sitemapindex>",
+    ),
+    (
+        "c.example",
+        "<urlset><url><loc><![CDATA[https://c.example/x?a=1&b=2]]></loc>"
+        "<priority>1.0</priority></url></urlset>",
+    ),
+    ("d.example", "<urlset></urlset>"),
+    (
+        "e.example",
+        "<URLSET>\r\n<URL><LOC>https://e.example/up</LOC>"
+        "<PRIORITY>junk</PRIORITY></URL>\r\n</URLSET>",
+    ),
+]
+
+
+def _parsed(spark):
+    df = spark.createDataFrame(BODIES, "host string, sitemap_xml string")
+    return parse_sitemaps(df)
+
+
+def test_parse_sitemaps_goldens(spark):
+    rows = {(r.host, r.loc): r for r in _parsed(spark).collect()}
+    assert set(rows) == {
+        ("a.example", "https://a.example/p1"),
+        ("a.example", "https://a.example/p2"),
+        ("b.example", "https://b.example/s1.xml"),
+        ("b.example", "https://b.example/s2.xml"),
+        ("c.example", "https://c.example/x?a=1&b=2"),
+        ("e.example", "https://e.example/up"),
+    }
+    full = rows[("a.example", "https://a.example/p1")]
+    assert (full.kind, full.lastmod, full.changefreq, full.priority_milli) == (
+        "urlset", "2024-01-02", "daily", 800,
+    )
+    bare = rows[("a.example", "https://a.example/p2")]
+    assert (bare.lastmod, bare.changefreq, bare.priority_milli) == (None, None, None)
+    assert rows[("b.example", "https://b.example/s1.xml")].kind == "sitemapindex"
+    assert rows[("c.example", "https://c.example/x?a=1&b=2")].priority_milli == 1000
+    # junk priority → NULL, uppercase/CRLF tags still parse
+    assert rows[("e.example", "https://e.example/up")].priority_milli is None
+
+
+def test_parse_sitemaps_is_expression_only(spark):
+    plan = _parsed(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Exchange" not in plan  # projection + generate, no shuffle
+    # the regexp battery must be evaluated once, not cloned into an
+    # inferred pre-filter (why the parse uses explode_outer)
+    assert plan.count("lambdafunction") == 1
