@@ -79,6 +79,7 @@ from crawlspark.operators.ordering import (
 from crawlspark.operators.politeness import (
     ORDER_COLS,
     apply_robots,
+    budgets_from_crawl_delay,
     topk_per_host,
     topk_per_host_split,
 )
@@ -163,6 +164,13 @@ class CrawlConfig:
     # passes per raw link are measurable in the link stage; real-web
     # deployments should turn it on.
     normalize_urls: bool = False
+    # Respect robots.txt Crawl-delay by deriving per-host token budgets
+    # (floor(delay_epoch_seconds / delay), min 1) from the robots table's
+    # crawl_delay_s column and taking the STRICTER of that and any
+    # explicit host_budgets row. Off by default: delay semantics assume
+    # a wall-clock epoch cadence only the deployment knows.
+    respect_crawl_delay: bool = False
+    delay_epoch_seconds: float = 60.0
     bloom_fpp: float = 0.01
     bloom_shards: int = 32
     bloom_capacity: int = 1_000_000  # initial sizing; grows 4x on overflow
@@ -256,6 +264,24 @@ def web_crawl(
     # user's source (parquet/CSV) from scratch — O(#epochs) re-reads
     if robots is not None:
         robots = robots.localCheckpoint(eager=True)
+    if (
+        cfg.respect_crawl_delay
+        and robots is not None
+        and "crawl_delay_s" in robots.columns
+    ):
+        delay_b = budgets_from_crawl_delay(robots, cfg.delay_epoch_seconds)
+        if host_budgets is None:
+            host_budgets = delay_b
+        else:
+            # a host present in both tables gets the stricter budget
+            a = host_budgets.select("host", F.col("tokens_per_epoch").alias("__a"))
+            b = delay_b.select("host", F.col("tokens_per_epoch").alias("__b"))
+            host_budgets = a.join(b, "host", "full").select(
+                "host",
+                F.least(
+                    F.coalesce("__a", "__b"), F.coalesce("__b", "__a")
+                ).alias("tokens_per_epoch"),
+            )
     if host_budgets is not None:
         host_budgets = host_budgets.localCheckpoint(eager=True)
 

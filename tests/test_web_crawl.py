@@ -273,3 +273,49 @@ def test_normalize_urls_collapses_aliases(spark, tmp_path):
     assert fetched[0]["url"] == "https://site.example/a"
     assert fetched[0]["status"] == "ok"
     assert sum(s["urls_dequeued"] for s in stats) == 1  # one canonical row total
+
+
+def test_respect_crawl_delay_budgets(spark, tmp_path):
+    """CrawlConfig.respect_crawl_delay: a robots Crawl-delay translates
+    into a per-host per-epoch fetch cap (floor(delay_epoch_seconds /
+    delay)), taking the stricter of delay-derived and explicit
+    budgets."""
+    from crawlspark.testdata import write_corpus
+
+    d = str(tmp_path / "c")
+    paths = write_corpus(spark, d, n_pages=200, n_hosts=4)
+    pages = spark.read.parquet(paths["pages"])
+    seeds = spark.read.parquet(paths["seeds"])
+    hosts = sorted(r.host for r in pages.select(
+        F.regexp_extract("url", r"https://([^/]+)", 1).alias("host")
+    ).distinct().collect())
+    h_delay, h_both = hosts[0], hosts[1]
+    # h_delay: delay 30s → floor(60/30) = 2 fetches/epoch
+    # h_both: delay says 3 (60/20), explicit budget says 1 → stricter = 1
+    robots = spark.createDataFrame(
+        [(h_delay, [], 30.0), (h_both, [], 20.0)],
+        "host string, disallow_prefixes array<string>, crawl_delay_s double",
+    )
+    explicit = spark.createDataFrame(
+        [(h_both, 1)], "host string, tokens_per_epoch int"
+    )
+    sd = str(tmp_path / "s")
+    web_crawl(
+        spark, pages, sd, seeds, robots=robots, host_budgets=explicit,
+        config=CrawlConfig(
+            default_budget=50, max_epochs=4,
+            respect_crawl_delay=True, delay_epoch_seconds=60.0,
+        ),
+    )
+    per_epoch = (
+        CrawlState(sd).fetched.read(spark)
+        .select("epoch", F.regexp_extract("url", r"https://([^/]+)", 1).alias("host"))
+        .groupBy("epoch", "host").count().collect()
+    )
+    caps = {h_delay: 2, h_both: 1}
+    for r in per_epoch:
+        if r.host in caps:
+            assert r["count"] <= caps[r.host], (r.host, r.epoch, r["count"])
+    # the delay-capped hosts did fetch (budget floor, not a block)
+    fetched_hosts = {r.host for r in per_epoch}
+    assert h_delay in fetched_hosts and h_both in fetched_hosts
