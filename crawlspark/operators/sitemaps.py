@@ -89,3 +89,20 @@ def parse_sitemaps(
         F.col("e.changefreq").alias("changefreq"),
         F.round(F.col("e.prio") * 1000).cast("int").alias("priority_milli"),
     )
+
+
+def seeds_from_sitemaps(parsed: DataFrame) -> DataFrame:
+    """Turn parsed ``urlset`` entries into the crawl's seed shape
+    ``(url, priority)``: sitemap priority 0.0-1.0 (higher = more
+    important, 0.5 when absent per the protocol) maps onto the
+    frontier's ASCENDING int priority as ``1000 - priority_milli``, so
+    ``<priority>1.0</priority>`` dequeues first. ``sitemapindex`` rows
+    are excluded — their locs are more sitemaps to fetch, not page
+    seeds. Downstream ``_normalize_seeds`` validates URLs and dedupes
+    (min priority wins), so feeding overlapping sitemaps is safe."""
+    return parsed.where(F.col("kind") == "urlset").select(
+        F.col("loc").alias("url"),
+        (F.lit(1000) - F.coalesce("priority_milli", F.lit(500)))
+        .cast("int")
+        .alias("priority"),
+    )

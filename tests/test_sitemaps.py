@@ -68,3 +68,15 @@ def test_parse_sitemaps_is_expression_only(spark):
     # the regexp battery must be evaluated once, not cloned into an
     # inferred pre-filter (why the parse uses explode_outer)
     assert plan.count("lambdafunction") == 1
+
+
+def test_seeds_from_sitemaps_priority_mapping(spark):
+    from crawlspark.operators.sitemaps import seeds_from_sitemaps
+
+    seeds = {r.url: r.priority for r in seeds_from_sitemaps(_parsed(spark)).collect()}
+    assert seeds == {
+        "https://a.example/p1": 200,     # 0.8 → 1000-800
+        "https://a.example/p2": 500,     # absent → default 0.5
+        "https://c.example/x?a=1&b=2": 0,  # 1.0 dequeues first
+        "https://e.example/up": 500,     # junk priority → default
+    }  # sitemapindex locs excluded
