@@ -106,3 +106,75 @@ def seeds_from_sitemaps(parsed: DataFrame) -> DataFrame:
         .cast("int")
         .alias("priority"),
     )
+
+
+# sitemap changefreq → recrawl interval in seconds ('never' is special-
+# cased: recrawl only on a lastmod newer than our copy)
+_CHANGEFREQ_S = {
+    "always": 0,
+    "hourly": 3_600,
+    "daily": 86_400,
+    "weekly": 604_800,
+    "monthly": 2_592_000,
+    "yearly": 31_536_000,
+}
+
+
+def schedule_recrawl(
+    entries: DataFrame,
+    fetched: DataFrame,
+    now,
+    default_interval_s: int = 604_800,
+) -> DataFrame:
+    """Freshness scheduling: which sitemap URLs are due for (re)crawl at
+    ``now``? Returns ``(url, priority, reason)`` in the frontier's seed
+    shape, with ``reason`` one of:
+
+    * ``'new'``      — never fetched;
+    * ``'modified'`` — sitemap ``lastmod`` is newer than our fetch (the
+      publisher told us the copy is stale — applies even to
+      ``changefreq=never`` pages);
+    * ``'stale'``    — fetched longer ago than the ``changefreq``
+      interval (``default_interval_s`` when absent/unknown; ``never``
+      pages are only recrawled via ``lastmod``).
+
+    ``entries`` is :func:`parse_sitemaps` output; ``fetched`` is
+    ``(url, fetch_ts)`` — e.g. the crawl state's fetched table with its
+    max fetch timestamp per url. ``now`` is an explicit parameter (ISO
+    string or datetime), never the wall clock: scheduling must be
+    deterministic and replayable. Left join on url (the fetched side is
+    the big one at scale: shuffle equi-join, both sides prunable to two
+    columns), everything else column expressions."""
+    e = entries.where(F.col("kind") == "urlset").select(
+        F.col("loc").alias("url"),
+        F.try_to_timestamp("lastmod").alias("__lastmod_ts"),
+        F.lower("changefreq").alias("__cf"),
+        F.coalesce("priority_milli", F.lit(500)).alias("__pm"),
+    )
+    imap = F.create_map(
+        *[x for k, v in _CHANGEFREQ_S.items() for x in (F.lit(k), F.lit(v))]
+    )
+    interval_s = F.coalesce(imap[F.col("__cf")], F.lit(default_interval_s))
+    now_ts = F.lit(now).cast("timestamp")
+    j = e.join(fetched.select("url", "fetch_ts"), "url", "left")
+    reason = (
+        F.when(F.col("fetch_ts").isNull(), "new")
+        .when(F.col("__lastmod_ts") > F.col("fetch_ts"), "modified")
+        .when(
+            (F.coalesce(F.col("__cf"), F.lit("")) != "never")
+            & (
+                F.unix_timestamp(now_ts) - F.unix_timestamp("fetch_ts")
+                >= interval_s
+            ),
+            "stale",
+        )
+    )
+    return (
+        j.withColumn("reason", reason)
+        .where(F.col("reason").isNotNull())
+        .select(
+            "url",
+            (F.lit(1000) - F.col("__pm")).cast("int").alias("priority"),
+            "reason",
+        )
+    )

@@ -80,3 +80,44 @@ def test_seeds_from_sitemaps_priority_mapping(spark):
         "https://c.example/x?a=1&b=2": 0,  # 1.0 dequeues first
         "https://e.example/up": 500,     # junk priority → default
     }  # sitemapindex locs excluded
+
+
+def test_schedule_recrawl_reasons(spark):
+    import datetime as dt
+
+    from crawlspark.operators.sitemaps import schedule_recrawl
+
+    entries = spark.createDataFrame(
+        [
+            # (host, kind, loc, lastmod, changefreq, priority_milli)
+            ("h", "urlset", "u/new", None, None, 900),
+            ("h", "urlset", "u/modified", "2024-06-01", "never", None),
+            ("h", "urlset", "u/stale-daily", None, "daily", 100),
+            ("h", "urlset", "u/fresh-daily", None, "daily", None),
+            ("h", "urlset", "u/never-unchanged", "2024-01-01", "never", None),
+            ("h", "urlset", "u/stale-default", None, None, None),  # unknown freq
+            ("h", "sitemapindex", "u/index-entry", None, None, None),  # excluded
+        ],
+        "host string, kind string, loc string, lastmod string, "
+        "changefreq string, priority_milli int",
+    )
+    fetched = spark.createDataFrame(
+        [
+            ("u/modified", dt.datetime(2024, 5, 1)),
+            ("u/stale-daily", dt.datetime(2024, 6, 9)),
+            ("u/fresh-daily", dt.datetime(2024, 6, 10, 6, 0)),
+            ("u/never-unchanged", dt.datetime(2024, 5, 1)),
+            ("u/stale-default", dt.datetime(2024, 5, 1)),  # 40 days > week
+        ],
+        "url string, fetch_ts timestamp",
+    )
+    out = {
+        r.url: (r.priority, r.reason)
+        for r in schedule_recrawl(entries, fetched, "2024-06-10 12:00:00").collect()
+    }
+    assert out == {
+        "u/new": (100, "new"),                 # 1000-900
+        "u/modified": (500, "modified"),       # lastmod beats 'never'
+        "u/stale-daily": (900, "stale"),
+        "u/stale-default": (500, "stale"),     # default weekly interval
+    }  # fresh-daily and never-unchanged are not due; index rows excluded
