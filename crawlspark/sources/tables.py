@@ -66,6 +66,26 @@ class CommitLog:
             state["epochs"].sort()
         if meta:
             state.setdefault("meta", {})[str(epoch)] = meta
+        self._replace(state)
+
+    def rollback_to(self, epoch: int) -> list[int]:
+        """Iceberg ``rollback_to_snapshot`` analog: atomically truncate
+        the log to epochs <= ``epoch`` and return the epochs dropped.
+        Later epochs' data directories stay on disk but are INVISIBLE to
+        every reader (reads list committed epochs only) — exactly
+        Iceberg's model, where rollback moves the snapshot pointer and
+        orphaned files wait for expire_snapshots; here the next replay
+        of a dropped epoch overwrites its directory anyway."""
+        state = self.read()
+        dropped = [e for e in state["epochs"] if e > epoch]
+        if dropped:
+            state["epochs"] = [e for e in state["epochs"] if e <= epoch]
+            for e in dropped:
+                state.get("meta", {}).pop(str(e), None)
+            self._replace(state)
+        return dropped
+
+    def _replace(self, state: dict) -> None:
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f)
@@ -150,6 +170,16 @@ class EpochTable:
             else:  # no rows for this table this epoch: stage a 0-row file
                 table.write_epoch_rows([], epoch)
         shutil.rmtree(stage, ignore_errors=True)
+
+    def read_as_of(self, spark: SparkSession, epoch: int) -> DataFrame:
+        """Time travel (Iceberg ``VERSION AS OF``): the table as it was
+        when ``epoch`` was the latest committed snapshot — committed
+        rows with epoch <= the requested one. Readers of a live crawl
+        can pin an epoch and see a consistent state while later epochs
+        keep committing."""
+        return self.read(
+            spark, epochs=[e for e in self.log.committed_epochs() if e <= epoch]
+        )
 
     def read(self, spark: SparkSession, epochs: list[int] | None = None) -> DataFrame:
         """Committed rows only (optionally a subset of epochs), with the

@@ -6,6 +6,8 @@ contract: cursor never passes incomplete work — re-crawl, never skip
 import os
 import shutil
 
+from pyspark.sql import functions as F
+
 from crawlspark.plans.epoch import CrawlConfig, web_crawl
 from crawlspark.plans.state import CrawlState
 from crawlspark.testdata import write_corpus
@@ -88,3 +90,46 @@ def test_lineage_metrics_recorded_per_epoch(spark, tmp_path):
     cursors = [m.get("cursors", {}).get("download") for m in
                (state.log.read()["meta"][str(e)] for e in state.log.committed_epochs())]
     assert cursors == sorted(cursors)
+
+
+def test_time_travel_and_rollback(spark, tmp_path):
+    """Iceberg-semantics parity on the commit-log tables: VERSION AS OF
+    (read_as_of pins a snapshot epoch) and rollback_to_snapshot
+    (rollback_to truncates the log; later data becomes invisible and a
+    resumed crawl re-executes from there, converging to the same
+    state — the crash contract, via the rollback path)."""
+    pages, seeds = _inputs(spark, tmp_path)
+    cfg = CrawlConfig(default_budget=6, max_epochs=4)
+    sd = str(tmp_path / "tt")
+    web_crawl(spark, pages, sd, seeds, config=cfg)
+    state = CrawlState(sd)
+    epochs = state.log.committed_epochs()
+    assert len(epochs) >= 3
+    full = state.fetched.read(spark)
+
+    # time travel: as-of epoch 1 sees exactly epochs 0-1, and matches a
+    # filtered read of the full table row-for-row
+    asof = state.fetched.read_as_of(spark, 1)
+    assert {r.epoch for r in asof.select("epoch").distinct().collect()} == {0, 1}
+    a = sorted(map(tuple, asof.collect()))
+    b = sorted(map(tuple, full.where(F.col("epoch") <= 1).collect()))
+    assert a == b
+
+    # rollback: drop everything after epoch 1, later rows turn invisible
+    dropped = state.log.rollback_to(1)
+    assert dropped == [e for e in epochs if e > 1]
+    assert CrawlState(sd).log.committed_epochs() == [0, 1]
+    visible = CrawlState(sd).fetched.read(spark)
+    assert sorted(map(tuple, visible.collect())) == a
+    # rollback is idempotent
+    assert CrawlState(sd).log.rollback_to(1) == []
+
+    # a resumed crawl re-executes from the rollback point and converges
+    # to the uninterrupted run's final state
+    web_crawl(spark, pages, sd, seeds, config=cfg)
+    resumed = CrawlState(sd).fetched.read(spark)
+    ref_sd = str(tmp_path / "ref")
+    web_crawl(spark, pages, ref_sd, seeds, config=cfg)
+    ref = CrawlState(ref_sd).fetched.read(spark)
+    key = lambda df: sorted((r.epoch, r.url) for r in df.select("epoch", "url").collect())
+    assert key(resumed) == key(ref)
