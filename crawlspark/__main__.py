@@ -47,7 +47,14 @@ def _read(spark, corpus: str, table: str, required: bool = True):
 
 def _cmd_crawl(args) -> dict:
     from crawlspark.plans.epoch import CrawlConfig, web_crawl
+    from crawlspark.plans.state import CrawlState
 
+    if args.rollback_to is not None:
+        # Iceberg rollback_to_snapshot analog on the crawl state BEFORE
+        # the run: later epochs turn invisible and the crawl resumes
+        # (re-executes) from the rollback point
+        dropped = CrawlState(args.state).log.rollback_to(args.rollback_to)
+        print(json.dumps({"rolled_back_epochs": dropped}))
     spark = _spark(args, "crawlspark-crawl")
     pages = _read(spark, args.corpus, "pages")
     seeds = spark.read.parquet(args.seeds) if args.seeds else _read(spark, args.corpus, "seeds")
@@ -64,6 +71,7 @@ def _cmd_crawl(args) -> dict:
             use_bloom=not args.no_bloom,
             analyze=args.analyze,
             normalize_urls=args.normalize_urls,
+            respect_crawl_delay=args.respect_crawl_delay,
         ),
     )
     return {
@@ -141,6 +149,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--analyze", action="store_true")
     c.add_argument("--normalize-urls", action="store_true",
                    help="canonicalize seeds + links (case/port/fragment aliases collapse)")
+    c.add_argument("--respect-crawl-delay", action="store_true",
+                   help="derive per-host budgets from robots Crawl-delay (stricter wins)")
+    c.add_argument("--rollback-to", type=int, default=None, metavar="EPOCH",
+                   help="rollback the state to this epoch before crawling (later epochs re-execute)")
     _add_spark_args(c)
     c.set_defaults(fn=_cmd_crawl)
 

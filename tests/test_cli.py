@@ -56,3 +56,25 @@ def test_download_subcommand(spark, tmp_path, capsys):
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["run"] == out["run"] + 1
     assert out2["cursor"] > out["cursor"]
+
+
+def test_crawl_rollback_flag(spark, tmp_path, capsys):
+    from crawlspark.plans.state import CrawlState
+
+    d = _corpus(spark, tmp_path)
+    state = str(tmp_path / "state_rb")
+    assert main(["crawl", "--corpus", d, "--state", state,
+                 "--budget", "6", "--max-epochs", "4"]) == 0
+    capsys.readouterr()
+    epochs = CrawlState(state).log.committed_epochs()
+    assert len(epochs) >= 3
+
+    # rollback to epoch 0, then re-crawl: dropped epochs re-execute
+    assert main(["crawl", "--corpus", d, "--state", state, "--budget", "6",
+                 "--max-epochs", "4", "--rollback-to", "0"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["rolled_back_epochs"] == [e for e in epochs if e > 0]
+    assert lines[-1]["command"] == "crawl"
+    assert CrawlState(state).log.committed_epochs() == epochs  # converged back
+    fetched = CrawlState(state).fetched.read(spark)
+    assert fetched.count() == fetched.select("url").distinct().count()
