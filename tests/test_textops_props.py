@@ -156,3 +156,79 @@ def test_redact_pii_goldens_and_duckdb_parity(spark):
         for r in redact_pii(df).collect()
     )
     assert mine == duck
+
+
+# -- exact substring dedup vs a pure-Python model ---------------------------
+
+def _py_duplicate_spans(texts: dict, k: int) -> dict:
+    """Independent model: count k-grams corpus-wide, mark positions
+    whose gram occurs >1 time, merge positions within k into spans."""
+    from collections import Counter
+
+    c = Counter()
+    for t in texts.values():
+        for i in range(len(t) - k + 1):
+            c[t[i:i + k]] += 1
+    spans = {}
+    for did, t in texts.items():
+        out = []
+        for p in range(len(t) - k + 1):
+            if c[t[p:p + k]] > 1:
+                if out and p <= out[-1][1]:
+                    out[-1][1] = p + k
+                else:
+                    out.append([p, p + k])
+        if out:
+            spans[did] = [tuple(x) for x in out]
+    return spans
+
+
+def _py_strip(texts: dict, spans: dict) -> dict:
+    out = {}
+    for did, t in texts.items():
+        kept, cur = [], 0
+        for s, e in spans.get(did, []):
+            kept.append(t[cur:s])
+            cur = e
+        kept.append(t[cur:])
+        out[did] = "".join(kept)
+    return out
+
+
+# tiny alphabet + short texts force genuine cross-doc and intra-doc
+# duplicate k-grams (incl. repeated-char runs, the self-dup case)
+SUBSTR_TEXTS = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=24), min_size=1, max_size=5
+)
+
+
+@given(texts=SUBSTR_TEXTS)
+@PROP_SETTINGS
+def test_duplicate_spans_matches_python_model(spark, texts):
+    from crawlspark.operators.dedup import duplicate_spans
+
+    k = 5
+    tmap = dict(enumerate(texts))
+    df = spark.createDataFrame(list(tmap.items()), "doc_id long, text string")
+    got = {}
+    for r in duplicate_spans(df, k=k).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        assert r.span_len == r.span_end - r.span_start
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got == _py_duplicate_spans(tmap, k)
+
+
+@given(texts=SUBSTR_TEXTS)
+@PROP_SETTINGS
+def test_strip_duplicate_spans_matches_python_model(spark, texts):
+    from crawlspark.operators.dedup import strip_duplicate_spans
+
+    k = 5
+    tmap = dict(enumerate(texts))
+    df = spark.createDataFrame(list(tmap.items()), "doc_id long, text string")
+    expect = _py_strip(tmap, _py_duplicate_spans(tmap, k))
+    rows = {r.doc_id: r for r in strip_duplicate_spans(df, k=k).collect()}
+    assert set(rows) == set(tmap)
+    for did, t in tmap.items():
+        assert rows[did].text_clean == expect[did], (did, t)
+        assert rows[did].removed_chars == len(t) - len(expect[did])
