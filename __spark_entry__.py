@@ -2067,6 +2067,49 @@ _TAIL_ORACLES["sitemap_parse"] = f"""
 """
 
 
+# -- LM quality filtering (CCNet-style, integer backbone) --------------------
+
+
+def _q_oov_bigram_share(spark, sf_dir):
+    """Out-of-vocabulary bigram share vs a reference LM trained on the
+    even-doc_id half of the corpus (lm.bigram_counts +
+    lm.oov_bigram_share) — the exact-integer backbone of perplexity
+    filtering."""
+    from crawlspark.operators.lm import bigram_counts, oov_bigram_share
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = bigram_counts(d.where(F.col("doc_id") % 2 == 0))
+    return oov_bigram_share(d, ref)
+
+
+_register("oov_bigram_share", _q_oov_bigram_share, None)
+# independent derivation: LATERAL generate_series over the token array
+# instead of a transform/slice bigram array
+_TAIL_ORACLES["oov_bigram_share"] = """
+  WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  grams AS (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+    FROM toks, LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
+    WHERE len(w) >= 2),
+  ref AS (
+    SELECT DISTINCT bigram FROM grams WHERE doc_id % 2 = 0),
+  scored AS (
+    SELECT g.doc_id,
+           count(*) AS n_bigrams,
+           sum(CASE WHEN r.bigram IS NULL THEN 1 ELSE 0 END) AS n_oov
+    FROM grams g LEFT JOIN ref r ON g.bigram = r.bigram
+    GROUP BY g.doc_id)
+  SELECT d.doc_id,
+         CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov,
+         CAST(CASE WHEN s.n_bigrams > 0
+                   THEN (s.n_oov * 1000000) // s.n_bigrams END AS BIGINT)
+           AS oov_micro
+  FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
