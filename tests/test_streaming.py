@@ -152,3 +152,58 @@ def test_stream_exact_dedup_incremental_never_reemits(spark, tmp_path):
     # ...and equals the batch operator's distinct clusters
     batch = exact_dedup(spark.read.parquet(docs_dir)).collect()
     assert {r["text_hash"] for r in batch} == {r["fp"] for r in got}
+
+
+def test_stream_seed_ingest_gate_and_crawl_handoff(spark, tmp_path):
+    """Streaming seed ingestion: invalid URLs dropped, first arrival of
+    a url wins across two availableNow runs (later duplicates — even
+    with better priority — never re-emit), and the ingested directory
+    is a valid web_crawl seeds input."""
+    from pyspark.sql import Row
+
+    from crawlspark.plans.epoch import CrawlConfig, web_crawl
+    from crawlspark.plans.state import CrawlState
+    from crawlspark.streaming.seeds import read_seeds, stream_seed_ingest
+    from crawlspark.testdata import write_corpus
+
+    seeds_dir = str(tmp_path / "seed_log")
+    out_dir = str(tmp_path / "seeds_out")
+    ckpt = str(tmp_path / "seeds_ckpt")
+
+    corpus = str(tmp_path / "corpus")
+    paths = write_corpus(spark, corpus, n_pages=120, n_hosts=6)
+    pages = spark.read.parquet(paths["pages"])
+    real = [r.url for r in spark.read.parquet(paths["seeds"]).limit(8).collect()]
+
+    batch1 = [Row(url=u, priority=5) for u in real[:5]] + [
+        Row(url="not a url", priority=0),
+        Row(url="ftp://wrong.scheme/x", priority=0),
+    ]
+    spark.createDataFrame(batch1, "url string, priority int").write.mode(
+        "overwrite"
+    ).parquet(seeds_dir)
+    stream_seed_ingest(spark, seeds_dir, ckpt, out_dir).awaitTermination(120)
+    first = {r.url: r.priority for r in read_seeds(spark, out_dir).collect()}
+    assert set(first) == set(real[:5])  # invalids gated out
+
+    # second delivery: 3 repeats at a "better" priority + 3 new
+    batch2 = [Row(url=u, priority=0) for u in real[:3]] + [
+        Row(url=u, priority=7) for u in real[5:8]
+    ]
+    spark.createDataFrame(batch2, "url string, priority int").write.mode(
+        "append"
+    ).parquet(seeds_dir)
+    stream_seed_ingest(spark, seeds_dir, ckpt, out_dir).awaitTermination(120)
+    got = {r.url: r.priority for r in read_seeds(spark, out_dir).collect()}
+    assert set(got) == set(real[:8])
+    assert all(got[u] == 5 for u in real[:3])  # first arrival won
+
+    # the ingested log is a drop-in web_crawl seeds input
+    sd = str(tmp_path / "state")
+    web_crawl(
+        spark, pages, sd, read_seeds(spark, out_dir),
+        config=CrawlConfig(default_budget=6, max_epochs=3),
+    )
+    fetched = CrawlState(sd).fetched.read(spark)
+    assert fetched.count() > 0
+    assert fetched.count() == fetched.select("url").distinct().count()
