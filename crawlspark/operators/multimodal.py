@@ -3,11 +3,13 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct, processed by Arrow-batched ``mapInPandas``
 pipelines. The Spark-side plumbing (schemas, batch iteration, partition
-strategy) is real and tested, and so is the decode for three REAL
+strategy) is real and tested, and so is the decode for four REAL
 image formats parseable in pure numpy/stdlib — binary PPM (P6),
-uncompressed 24-bit BMP (BI_RGB), and non-interlaced 8-bit RGB/RGBA
-PNG (stdlib zlib inflate + per-row filter reversal) — no codec library
-needed. JPEG/video still need PIL/libav on a real cluster: they fall
+uncompressed 24-bit BMP (BI_RGB), non-interlaced 8-bit RGB/RGBA
+PNG (stdlib zlib inflate + per-row filter reversal), and baseline
+JPEG (operators/jpeg.py: full huffman + DCT decode, 4:4:4/4:2:2/4:2:0,
+restart intervals) — no codec library needed. Progressive JPEG and
+compressed video still need PIL/libav on a real cluster: they fall
 through to the metadata-only path here; the batch loop, schema, and
 partitioning do not change when a codec is added.
 
@@ -18,6 +20,9 @@ Payload formats dispatched by magic bytes in ``_decode_batch``:
                header, pixels de-padded per 4-byte row alignment
   b'\\x89PNG'  PNG, 8-bit color type 2/6 (RGB/RGBA), non-interlaced:
                IDAT inflate + None/Sub/Up/Average/Paeth unfiltering
+  b'\\xff\\xd8'  JPEG, baseline sequential DCT (SOF0): huffman entropy
+               decode, dequant + IDCT, chroma upsample, YCbCr→RGB —
+               progressive/arithmetic raise → metadata-only fallback
   b'RIFF..WAVE' WAV, PCM 16-bit (chunk walk → fmt + data): width =
                samples per channel, height = channels, mean over the
                SIGNED sample values — the real audio format
@@ -29,7 +34,8 @@ Payload formats dispatched by magic bytes in ``_decode_batch``:
   otherwise    unknown codec → metadata only (n_bytes, whole-blob mean)
 
 A payload whose magic matches but whose body is malformed (truncated
-P6, 32bpp/RLE BMP, 16-bit samples, interlaced PNG, bad zlib stream...)
+P6, 32bpp/RLE BMP, 16-bit samples, interlaced PNG, progressive JPEG,
+bad zlib stream...)
 falls back to the metadata-only row for THAT row — one poison blob in a
 100 TB corpus must not fail the whole job (per-row isolation in
 ``_decode_batch``; the row keeps width=height=0 like any unknown codec).
@@ -43,6 +49,8 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+
+from crawlspark.operators.jpeg import decode_jpeg
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -416,6 +424,9 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 body = px.ravel()
             elif b[:8] == PNG_SIG:
                 w, h, px = decode_png(b)
+                body = px.ravel()
+            elif b[:2] == b"\xff\xd8":
+                w, h, px = decode_jpeg(b)
                 body = px.ravel()
             elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                 n, ch, _rate, s = decode_wav(b)
