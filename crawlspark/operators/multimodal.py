@@ -50,7 +50,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from crawlspark.operators.jpeg import decode_jpeg
+from crawlspark.operators.jpeg import decode_jpeg, encode_jpeg
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -486,18 +486,31 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 8) -> DataFrame:
 
 
 def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
-    """Resize stand-in: cap the longer side at ``max_dim`` preserving
-    aspect ratio, emit a rebuilt payload (new FAKE header + nearest-
-    neighbor subsampled body) — binary in → binary out, one row per
-    row, the exact mapInPandas shape of a real thumbnailer (swap the
-    body math for ``PIL.Image.resize`` on a cluster with codecs).
-    Unknown codecs pass through unchanged."""
+    """Thumbnail: cap the longer side at ``max_dim`` preserving aspect
+    ratio — binary in → binary out, one row per row. REAL for JPEG
+    payloads (decode → nearest-neighbor subsample → re-encode via
+    operators/jpeg.py); FAKE payloads rebuild their synthetic header;
+    other/unknown codecs pass through unchanged (per-row isolation —
+    a malformed JPEG body passes through rather than failing the
+    task)."""
     out_schema = T.StructType(
         list(MEDIA_SCHEMA.fields) + [T.StructField("resized", T.BinaryType())]
     )
 
     def _resize_one(p) -> bytes:
         b = bytes(p)
+        if b[:2] == b"\xff\xd8":
+            try:
+                w, h, px = decode_jpeg(b)
+                scale = max(w, h, 1) / max_dim
+                if scale <= 1.0:
+                    return b
+                nw, nh = max(int(w / scale), 1), max(int(h / scale), 1)
+                ys = np.linspace(0, h - 1, num=nh).astype(int)
+                xs = np.linspace(0, w - 1, num=nw).astype(int)
+                return encode_jpeg(px[np.ix_(ys, xs)], quality=85)
+            except (ValueError, struct.error, IndexError):
+                return b
         if b[:4] != b"FAKE":
             return b
         w, h = struct.unpack(">II", b[4:12])

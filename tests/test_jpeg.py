@@ -90,3 +90,25 @@ def test_decode_media_dispatch_and_poison_isolation(spark):
     assert (rows[1].width, rows[1].height) == (11, 9)
     assert (rows[2].width, rows[2].height) == (0, 0)  # metadata-only fallback
     assert rows[2].n_bytes == 40
+
+
+def test_resize_media_makes_real_jpeg_thumbnails(spark):
+    from crawlspark.operators.multimodal import resize_media
+
+    img = _gradient(48, 64)
+    big = encode_jpeg(img, 85)
+    small_already = encode_jpeg(img[:8, :8], 85)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(big)), (2, "image", bytearray(small_already))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r.media_id: bytes(r.resized) for r in resize_media(df, max_dim=16).collect()}
+    w, h, thumb = decode_jpeg(rows[1])
+    assert (w, h) == (16, 12)  # aspect preserved, longer side capped
+    # thumbnail content tracks the source (nearest-neighbor of a smooth
+    # gradient stays close to the subsampled original)
+    ys = np.linspace(0, 47, num=12).astype(int)
+    xs = np.linspace(0, 63, num=16).astype(int)
+    ref = img[np.ix_(ys, xs)]
+    assert np.abs(thumb.astype(int) - ref.astype(int)).mean() < 12
+    assert rows[2] == bytes(small_already)  # already small: untouched

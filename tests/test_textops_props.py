@@ -232,3 +232,40 @@ def test_strip_duplicate_spans_matches_python_model(spark, texts):
     for did, t in tmap.items():
         assert rows[did].text_clean == expect[did], (did, t)
         assert rows[did].removed_chars == len(t) - len(expect[did])
+
+
+# -- JPEG codec roundtrip bounds ---------------------------------------------
+
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    subsample=st.booleans(),
+)
+@PROP_SETTINGS
+def test_jpeg_roundtrip_structural_properties(h, w, seed, subsample):
+    """Arbitrary-size random images: encode→decode preserves dims and
+    stays within quantization error of the q95 tables; bytes are a
+    well-formed SOI..EOI stream. (No spark fixture — pure codec.)"""
+    import numpy as np
+
+    from crawlspark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    b = encode_jpeg(img, quality=95, subsample=subsample, restart_interval=2)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    w2, h2, out = decode_jpeg(b)
+    assert (w2, h2) == (w, h) and out.shape == img.shape
+    # q95 luma quant steps are tiny → luma must track closely ALWAYS
+    # (it is never subsampled); RGB error under 4:2:0 on random colors
+    # is dominated by legitimate chroma box-averaging (a 1x2 image
+    # averages its only two chroma samples), so bound RGB for 4:4:4 only
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    y_err = np.abs(luma(out.astype(float)) - luma(img.astype(float))).mean()
+    assert y_err < 12, y_err
+    if not subsample:
+        err = np.abs(out.astype(int) - img.astype(int)).mean()
+        assert err < 12, err
