@@ -2058,9 +2058,11 @@ _TAIL_ORACLES["sitemap_parse"] = f"""
                           '(?s)^<!\\[CDATA\\[(.*)\\]\\]>$', '\\1') AS loc,
            nullif(regexp_extract(bl, '(?is)<lastmod\\s*>\\s*([^<]*?)\\s*</lastmod\\s*>', 1), '') AS lastmod,
            nullif(regexp_extract(bl, '(?is)<changefreq\\s*>\\s*([^<]*?)\\s*</changefreq\\s*>', 1), '') AS changefreq,
-           CAST(round(TRY_CAST(
+           CAST(CASE WHEN TRY_CAST(
              nullif(regexp_extract(bl, '(?is)<priority\\s*>\\s*([^<]*?)\\s*</priority\\s*>', 1), '')
-             AS DOUBLE) * 1000) AS INT) AS priority_milli
+             AS DOUBLE) BETWEEN 0 AND 1 THEN round(TRY_CAST(
+             nullif(regexp_extract(bl, '(?is)<priority\\s*>\\s*([^<]*?)\\s*</priority\\s*>', 1), '')
+             AS DOUBLE) * 1000) END AS INT) AS priority_milli
     FROM blocks)
   SELECT host, kind, trim(loc) AS loc, lastmod, changefreq, priority_milli
   FROM fields WHERE trim(loc) <> ''

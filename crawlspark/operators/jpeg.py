@@ -377,6 +377,8 @@ class _BitReader:
         b = self.buf
         while self.pos + 1 < len(b) and not (b[self.pos] == 0xFF and b[self.pos + 1] != 0x00):
             self.pos += 1
+        if self.pos + 2 > len(b):
+            raise ValueError("truncated entropy stream at restart boundary")
         m = struct.unpack(">H", b[self.pos:self.pos + 2])[0]
         self.pos += 2
         return m
@@ -498,6 +500,17 @@ def _decode_scan(b, pos, w, h, comps, scan, quant, huff_dc, huff_ac,
         np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64)
         for c in comps
     ]
+    # resolve every table reference ONCE, up front — a corrupt stream
+    # whose SOS/SOF references an undefined table/component must raise
+    # ValueError (the decode contract; a bare KeyError would escape the
+    # per-row isolation catch in multimodal._decode_batch)
+    tables = []
+    for cid, ch, cv, tq in comps:
+        try:
+            dct, act = scan[cid]
+            tables.append((huff_dc[dct], huff_ac[act], quant[tq]))
+        except KeyError as e:
+            raise ValueError(f"undefined table/component reference: {e}") from e
     br = _BitReader(b, pos)
     preds = [0] * len(comps)
     mcu_count = 0
@@ -509,9 +522,7 @@ def _decode_scan(b, pos, w, h, comps, scan, quant, huff_dc, huff_ac,
                     raise ValueError("expected RST marker")
                 preds = [0] * len(comps)
             for ci, (cid, ch, cv, tq) in enumerate(comps):
-                dct, act = scan[cid]
-                dc_tbl, ac_tbl = huff_dc[dct], huff_ac[act]
-                q = quant[tq]
+                dc_tbl, ac_tbl, q = tables[ci]
                 for by in range(cv):
                     for bx in range(ch):
                         zz = np.zeros(64, dtype=np.int32)

@@ -29,9 +29,13 @@ from pyspark.sql import functions as F
 from crawlspark.operators.textops import words_of
 
 
-def _bigrams(text: Column | str) -> Column:
-    """Array of "w1 w2" bigram strings; docs with <2 tokens yield []."""
-    w = words_of(F.col(text) if isinstance(text, str) else text)
+def _bigrams_of(w: Column) -> Column:
+    """Array of "w1 w2" bigram strings from a STAGED token-array column
+    reference; docs with <2 tokens yield []. The caller must project
+    ``words_of(text)`` into its own column first: a lambda closing over
+    the raw split() subtree re-evaluates it per element (the repo's HOF
+    gotcha — O(tokens²) per doc), while a staged reference used >= 2
+    times here survives CollapseProject and splits once per row."""
     return F.when(F.size(w) < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(w) - 1),
@@ -46,8 +50,13 @@ def bigram_counts(
     """Token-bigram counts over a reference corpus → (bigram, n). The
     training half of the quality filter; persist/broadcast the result
     and reuse it across scoring runs."""
+    # explode_OUTER: plain explode triggers InferFiltersFromGenerate,
+    # cloning the bigram battery into a size()>0 pre-filter (2x cost);
+    # the cheap null filter below replaces it (sitemaps.py pattern)
     return (
-        docs.select(F.explode(_bigrams(text_col)).alias("bigram"))
+        docs.select(words_of(text_col).alias("__w"))
+        .select(F.explode_outer(_bigrams_of(F.col("__w"))).alias("bigram"))
+        .where(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
     )
@@ -68,8 +77,8 @@ def oov_bigram_share(
     in-vocabulary when the reference saw it >= ``min_ref_count`` times
     (raise to ignore reference hapaxes)."""
     grams = docs.select(
-        F.col(id_col).alias("id"), F.explode_outer(_bigrams(text_col)).alias("bigram")
-    )
+        F.col(id_col).alias("id"), words_of(text_col).alias("__w")
+    ).select("id", F.explode_outer(_bigrams_of(F.col("__w"))).alias("bigram"))
     ref = ref_counts.where(F.col("n") >= min_ref_count).select(
         "bigram", F.lit(True).alias("__in_ref")
     )

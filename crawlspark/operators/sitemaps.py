@@ -47,7 +47,9 @@ def parse_sitemaps(
       tag is absent (lastmod stays a string — W3C datetime allows
       date-only and zoned forms; the caller decides how to coerce).
     * ``priority_milli``: priority × 1000 as an integer (micro-unit
-      convention — cross-engine exact), NULL when absent/non-numeric.
+      convention — cross-engine exact), NULL when absent, non-numeric,
+      or outside the protocol's 0.0-1.0 range (a hostile
+      <priority>9.9</priority> must not jump the frontier queue).
 
     The per-block struct array is built in ONE projection and exploded
     in a second (the CollapseProject barrier), so the regexp battery
@@ -81,13 +83,16 @@ def parse_sitemaps(
     exploded = bodies.select(
         F.col(host_col).alias("host"), kind.alias("kind"), entries.alias("__e")
     ).select("host", "kind", F.explode_outer("__e").alias("e"))
+    prio = F.col("e.prio")
     return exploded.where(F.trim(F.col("e.loc")) != "").select(
         "host",
         "kind",
         F.trim(F.col("e.loc")).alias("loc"),
         F.col("e.lastmod").alias("lastmod"),
         F.col("e.changefreq").alias("changefreq"),
-        F.round(F.col("e.prio") * 1000).cast("int").alias("priority_milli"),
+        F.when((prio >= 0) & (prio <= 1), F.round(prio * 1000))
+        .cast("int")
+        .alias("priority_milli"),
     )
 
 

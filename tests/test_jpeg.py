@@ -112,3 +112,32 @@ def test_resize_media_makes_real_jpeg_thumbnails(spark):
     ref = img[np.ix_(ys, xs)]
     assert np.abs(thumb.astype(int) - ref.astype(int)).mean() < 12
     assert rows[2] == bytes(small_already)  # already small: untouched
+
+
+def test_corrupt_table_references_raise_valueerror():
+    """A stream whose SOS references undefined tables must raise
+    ValueError (not KeyError) so the per-row isolation catch holds."""
+    img = np.full((8, 8, 3), 50, dtype=np.uint8)
+    good = encode_jpeg(img, 80)
+    # strip every DHT segment: table lookups in the scan become dangling
+    out = bytearray()
+    pos = 0
+    while pos < len(good):
+        if good[pos] == 0xFF and good[pos + 1] == 0xC4:
+            (seglen,) = np.frombuffer(good[pos + 2:pos + 4], dtype=">u2")
+            pos += 2 + int(seglen)
+            continue
+        out.append(good[pos])
+        pos += 1
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(out))
+
+
+def test_truncated_at_restart_boundary_raises_valueerror():
+    img = _gradient(24, 24)
+    b = encode_jpeg(img, 90, restart_interval=1)
+    # cut inside the entropy stream, right after the first RST marker
+    rst = b.find(b"\xff\xd0")
+    assert rst > 0
+    with pytest.raises(ValueError):
+        decode_jpeg(b[:rst + 3])

@@ -121,3 +121,25 @@ def test_schedule_recrawl_reasons(spark):
         "u/stale-daily": (900, "stale"),
         "u/stale-default": (500, "stale"),     # default weekly interval
     }  # fresh-daily and never-unchanged are not due; index rows excluded
+
+
+def test_out_of_range_priority_is_ignored(spark):
+    from crawlspark.operators.sitemaps import parse_sitemaps, seeds_from_sitemaps
+
+    df = spark.createDataFrame(
+        [("h", "<urlset>"
+               "<url><loc>u/hostile</loc><priority>9.9</priority></url>"
+               "<url><loc>u/negative</loc><priority>-0.5</priority></url>"
+               "<url><loc>u/edge-hi</loc><priority>1.0</priority></url>"
+               "<url><loc>u/edge-lo</loc><priority>0.0</priority></url>"
+               "</urlset>")],
+        "host string, sitemap_xml string",
+    )
+    parsed = {r.loc: r.priority_milli for r in parse_sitemaps(df).collect()}
+    # out-of-protocol-range priorities must not jump (or sink below) the
+    # frontier queue — they fall back to NULL → the 0.5 default
+    assert parsed == {"u/hostile": None, "u/negative": None,
+                      "u/edge-hi": 1000, "u/edge-lo": 0}
+    seeds = {r.url: r.priority for r in seeds_from_sitemaps(parse_sitemaps(df)).collect()}
+    assert seeds == {"u/hostile": 500, "u/negative": 500,
+                     "u/edge-hi": 0, "u/edge-lo": 1000}
