@@ -529,6 +529,13 @@ def _decode_scan(b, pos, w, h, comps, scan, quant, huff_dc, huff_ac,
                         size = _huff_decode(br, dc_tbl)
                         diff = _extend(br.bits(size), size) if size else 0
                         preds[ci] += diff
+                        # 8-bit baseline DC is bounded by ±2047 after
+                        # quant; a predictor far outside that is corrupt
+                        # entropy data — fail as ValueError before the
+                        # int32 store can raise OverflowError (which
+                        # would escape the per-row isolation catch)
+                        if not -(1 << 20) <= preds[ci] <= (1 << 20):
+                            raise ValueError("DC predictor out of range")
                         zz[0] = preds[ci]
                         k = 1
                         while k < 64:

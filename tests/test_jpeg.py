@@ -141,3 +141,31 @@ def test_truncated_at_restart_boundary_raises_valueerror():
     assert rst > 0
     with pytest.raises(ValueError):
         decode_jpeg(b[:rst + 3])
+
+
+def test_fuzzed_payloads_never_escape_the_isolation_catch():
+    """The per-row isolation contract: whatever bytes arrive, decode
+    either succeeds or raises one of the classes _decode_batch catches
+    — never KeyError/TypeError/unbounded loops. Deterministic fuzz:
+    truncations at every 7th byte and single-byte corruptions at every
+    11th position of a real stream, plus random-bytes payloads."""
+    import struct as _struct
+    import zlib as _zlib
+
+    caught = (ValueError, _struct.error, _zlib.error, IndexError)
+    img = _gradient(16, 24)
+    base = encode_jpeg(img, 80, subsample=True, restart_interval=2)
+
+    payloads = [base[:i] for i in range(2, len(base), 7)]
+    for pos in range(2, len(base), 11):
+        for flip in (0x00, 0xFF, 0x42):
+            payloads.append(base[:pos] + bytes([flip]) + base[pos + 1:])
+    rng = np.random.default_rng(3)
+    payloads += [b"\xff\xd8" + rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+                 for n in (0, 1, 17, 200)]
+
+    for p in payloads:
+        try:
+            decode_jpeg(p)
+        except caught:
+            pass  # the contract: only classes the batch loop absorbs
