@@ -260,8 +260,14 @@ def decode_png(b: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("missing IHDR")
     w, h, ch = dims
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # bounded inflate: an unbounded zlib.decompress lets a ~500 KB
+    # decompression bomb allocate gigabytes per row BEFORE the length
+    # check — cap at expected+1 so a bomb costs O(expected) and fails
+    # the same length check as any other corrupt stream
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or not d.eof:
         raise ValueError("PNG pixel data length mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.empty((h, stride), dtype=np.uint8)

@@ -289,3 +289,28 @@ def test_real_media_table_decodes_every_row(spark):
         else:  # video: even header dims
             assert r["width"] == 16 + 2 * ((i * 7) % 8), i
             assert r["height"] == 16 + 2 * ((i * 13) % 8), i
+
+
+def test_png_decompression_bomb_is_bounded():
+    """A ~500KB IDAT inflating to 512MB must fail the length check
+    after at most expected+1 inflated bytes — never materialize the
+    bomb (hostile payloads at corpus scale would OOM executors)."""
+    import struct
+    import time
+    import zlib
+
+    import pytest
+
+    from crawlspark.operators.multimodal import PNG_SIG, decode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", 100, 100, 8, 2, 0, 0, 0)  # claims 100x100
+    bomb = zlib.compress(b"\x00" * (512 * 1024 * 1024), 9)
+    png = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    t0 = time.time()
+    with pytest.raises(ValueError):
+        decode_png(png)
+    assert time.time() - t0 < 0.5  # bounded inflate, not 512MB then check
