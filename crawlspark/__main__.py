@@ -27,6 +27,19 @@ def _add_spark_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cpus", type=int, default=None, help="local[N] cores")
     p.add_argument("--master", default=None, help="spark master override")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--verbose", action="store_true",
+        help="write debug messages (ConsoleLogger.cs:14 Debug threshold); "
+             "log lines go to stderr, the stats JSON stays on stdout",
+    )
+
+
+def _logger(args):
+    from crawlspark.logging import DepthLogger
+
+    return DepthLogger(
+        write=lambda line: print(line, file=sys.stderr), verbose=args.verbose
+    )
 
 
 def _spark(args, name: str):
@@ -62,6 +75,7 @@ def _cmd_crawl(args) -> dict:
     budgets = _read(spark, args.corpus, "host_budgets", required=False)
     stats = web_crawl(
         spark, pages, args.state, seeds, robots=robots, host_budgets=budgets,
+        logger=_logger(args),
         config=CrawlConfig(
             default_budget=args.budget,
             max_epochs=args.max_epochs,
@@ -95,6 +109,9 @@ def _cmd_download(args) -> dict:
         depth=args.depth, max_pages=args.max_pages, max_commits=args.max_commits,
         default_cursor=_parse_cursor(args.default_cursor_value),
         json_formatting=args.json_formatting,
+        mirror_dir=args.data_dir,
+        format_paths=args.format_paths,
+        logger=_logger(args),
     )
     return {
         "command": "download", "run": res["run"], "pages": res["pages"],
@@ -169,7 +186,18 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument(
         "--json-formatting", default="unchanged",
         choices=("unchanged", "pretty", "pretty_when_unindented", "minify"),
-        help="O3 rewrite applied to mirrored documents (--format-paths analog)",
+        help="O3 rewrite applied to mirrored documents (JsonFileHelper.cs:47-89)",
+    )
+    d.add_argument(
+        "--data-dir", default=None, metavar="DIR",
+        help="physically mirror leaf documents to DIR/host/path "
+             "(Downloader.cs:246-296 disk layout)",
+    )
+    d.add_argument(
+        "--format-paths", action="store_true",
+        help="shard mirrored paths to bound directory fanout: pageN.json "
+             "into 500-page bucket dirs, timestamp dirs into y/m/d/h "
+             "(DownloadCommandHandler.cs:49-52, PathFormatter.cs:30-60)",
     )
     _add_spark_args(d)
     d.set_defaults(fn=_cmd_download)

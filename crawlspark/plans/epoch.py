@@ -243,6 +243,7 @@ def web_crawl(
     robots: DataFrame | None = None,
     host_budgets: DataFrame | None = None,
     config: CrawlConfig | None = None,
+    logger=None,
 ) -> list[dict]:
     """Run the frontier crawl to exhaustion (or budget), resuming from
     the last committed epoch. Returns per-epoch stats dicts.
@@ -252,6 +253,16 @@ def web_crawl(
     recovered from the fetch job itself."""
     cfg = config or CrawlConfig()
     cfg.validate()
+    from crawlspark.logging import NullLogger
+
+    log = logger if logger is not None else NullLogger()
+    # verbose config dump, the reference's startup block (Downloader.cs:39-53)
+    log.debug("Configuration:")
+    log.debug("Default budget: {}", cfg.default_budget)
+    log.debug("Max epochs: {}", cfg.max_epochs)
+    log.debug("Max attempts: {}", cfg.max_attempts)
+    log.debug("Bloom seen-set: {}", cfg.use_bloom)
+    log.debug("Respect crawl-delay: {}", cfg.respect_crawl_delay)
     state = CrawlState(state_dir)
     start = state.next_epoch()
     stats_out: list[dict] = []
@@ -594,6 +605,11 @@ def web_crawl(
         }
         state.commit_epoch(epoch, cursors={"download": cursor}, stats=epoch_stats)
         stats_out.append(epoch_stats)
+        log.info("Epoch {}: committed", epoch)
+        with log.indent():
+            log.info("Fetched {} urls ({} failed, {} retrying)", n_ok, n_failed, n_retry)
+            log.debug("Frontier pending after: {}", int(n_frontier))
+            log.debug("Bytes fetched: {}", int(m["bytes"] or 0))
         total_final += n_final
 
         # 9. fold this epoch's newly-final urls into the carried bloom
@@ -646,6 +662,9 @@ def catalog_crawl(
     consumer: str = "download",
     default_cursor: dt.datetime | None = None,
     json_formatting: str = "unchanged",
+    mirror_dir: str | None = None,
+    format_paths: bool = False,
+    logger=None,
 ) -> dict:
     """One incremental run over the catalog: the set-based equivalent of
     the reference's sequential page loop (Downloader.cs:91-195).
@@ -665,6 +684,11 @@ def catalog_crawl(
 
     Assumes commits do not span catalog pages and page order equals
     commit order — true of the NuGet catalog and of our corpus.
+
+    ``mirror_dir`` enables the physical disk mirror (O2, one file per
+    leaf document under ``mirror_dir/host/path``); ``format_paths``
+    applies the reference's directory-fanout sharding to those paths
+    (O26 page buckets + O25 timestamp explosion, PathFormatter.cs:30-60).
     """
     if depth not in DEPTHS:
         raise ValueError(f"depth must be one of {DEPTHS}")
@@ -674,6 +698,17 @@ def catalog_crawl(
         raise ValueError("max_pages requires depth >= index (Downloader.cs:60-63)")
     if json_formatting not in ("unchanged", "pretty", "pretty_when_unindented", "minify"):
         raise ValueError(f"unknown json_formatting {json_formatting!r}")
+    from crawlspark.logging import NullLogger
+
+    log = logger if logger is not None else NullLogger()
+    # verbose config dump (Downloader.cs:39-53) — same keys, table world
+    log.debug("Configuration:")
+    log.debug("Depth: {}", depth)
+    log.debug("JSON formatting: {}", json_formatting)
+    log.debug("Max pages: {}", max_pages)
+    log.debug("Max commits: {}", max_commits)
+    log.debug("Save to disk: {}", mirror_dir is not None)
+    log.debug("Format paths: {}", format_paths)
     state = CrawlState(state_dir)
     run = state.next_epoch()
 
@@ -692,9 +727,12 @@ def catalog_crawl(
 
     cursor = state.cursor(consumer, default=default_cursor)
 
+    log.info("Downloading catalog index")  # Downloader.cs:93
     sel_pages = cursor_filter(index, cursor, ts_col="page_ts")
     sel_pages = ordered_limit(sel_pages, max_pages, ["page_ts", "page_no"]).cache()
     n_pages = sel_pages.count()
+    with log.indent():
+        log.debug("Found {} pages with new data.", n_pages)  # Downloader.cs:99
     if n_pages == 0:
         sel_pages.unpersist()
         return {"run": run, "pages": 0, "leaves": 0, "cursor": cursor}
@@ -770,6 +808,24 @@ def catalog_crawl(
     else:
         text_col = extract_text_udf(F.col("html"))
 
+    if mirror_dir is not None:
+        # O2 physical disk mirror with the --format-paths fanout toggle
+        # (DownloadCommandHandler.cs:49-52, Downloader.cs:246-296): the
+        # mirrored body is the (possibly O3-rewritten) document, the path
+        # is the reference's host/path mapping with 500-page bucket dirs
+        # and y/m/d/h timestamp explosion when format_paths is on.
+        from crawlspark.functions.paths import mirror_path
+        from crawlspark.sources.mirror import write_mirror
+
+        body = text_col if json_formatting != "unchanged" else F.col("html").cast("string")
+        write_mirror(
+            leaves.select(
+                mirror_path(F.col("url"), format_paths=format_paths).alias("dest"),
+                body.alias("content"),
+            ),
+            mirror_dir,
+        )
+
     fetched_rows = leaves.select(
         "url",
         host_of(F.col("url")).alias("host"),
@@ -790,6 +846,10 @@ def catalog_crawl(
     agg = leaves.agg(F.max("warc_ts").alias("mx"), F.count("*").alias("n")).first()
     new_cursor = max(cursor, agg["mx"] or EPOCH_MIN)
     n_leaves = int(agg["n"])
+    with log.indent():
+        log.info("Processing {} catalog pages", n_pages)  # Downloader.cs:123
+        with log.indent():
+            log.info("Downloaded {} catalog leaves", n_leaves)  # Downloader.cs:151
     state.commit_epoch(
         run, cursors={consumer: new_cursor},
         stats={"pages": n_pages, "urls_fetched": n_leaves},
