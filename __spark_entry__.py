@@ -1393,7 +1393,10 @@ def _q_pagerank(spark, sf_dir):
     the DuckDB unrolled-CTE twin matches bit-exactly."""
     from crawlspark.operators.graph import pagerank_micro
 
-    return pagerank_micro(_pagerank_edges_spark(spark, sf_dir), iterations=5)
+    return pagerank_micro(
+        _pagerank_edges_spark(spark, sf_dir), iterations=5,
+        redistribute_dangling=True,
+    )
 
 
 def _pagerank_oracle() -> None:
@@ -1406,7 +1409,9 @@ def _pagerank_oracle() -> None:
     inner = _PAGERANK_EDGES_SQL.replace(
         ", nn", ", (SELECT count(*) AS n FROM documents) nn"
     )
-    _ORACLES["pagerank"] = pagerank_sql(inner, iterations=5)
+    _ORACLES["pagerank"] = pagerank_sql(
+        inner, iterations=5, redistribute_dangling=True
+    )
 
 
 _register("pagerank", _q_pagerank, None)
@@ -2121,6 +2126,66 @@ _ORACLES["oov_bigram_share"] = """
            AS oov_micro
   FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 """
+
+
+# -- mirror-path formatting (O25/O26 + --format-paths) -----------------------
+# URL → disk-mirror destination with the reference's directory-fanout
+# sharding (PathFormatter.cs:30-60, Downloader.cs:246-279). The synthetic
+# battery exercises every validation gate (scheme, port, query, empty
+# path, dot segment) plus both formatters. Tail oracle: the driver's
+# 50-entry window is full; the pytest parity gate runs the exact twin.
+_MP_URL_SPARK = """CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN 'https://m' || CAST(doc_id % 7 AS STRING) || '.example/v3/catalog0/page'
+              || CAST(doc_id AS STRING) || '.json'
+  WHEN 1 THEN 'https://m.example/v3/catalog0/2020.10.'
+              || lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0') || '.12.30.'
+              || lpad(CAST(doc_id % 60 AS STRING), 2, '0') || '/pkg'
+              || CAST(doc_id AS STRING) || '.json'
+  WHEN 2 THEN 'http://m.example/v3/x' || CAST(doc_id AS STRING) || '.json'
+  WHEN 3 THEN 'https://m.example:8443/v3/x' || CAST(doc_id AS STRING) || '.json'
+  WHEN 4 THEN 'https://m.example/v3/x' || CAST(doc_id AS STRING) || '.json?q=1'
+  ELSE 'https://m.example/.hidden/x' || CAST(doc_id AS STRING) || '.json'
+END"""
+_MP_URL_DUCK = _MP_URL_SPARK.replace("AS STRING", "AS VARCHAR")
+
+
+def _q_mirror_path(spark, sf_dir):
+    """Mirror destination paths with --format-paths fanout
+    (functions/paths.py mirror_path): 500-page bucket dirs + y/m/d/h
+    timestamp explosion, NULL for URLs the reference rejects."""
+    from crawlspark.functions.paths import mirror_path
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_MP_URL_SPARK).alias("url")
+    )
+    return docs.select(
+        "doc_id", "url",
+        mirror_path("url", format_paths=True, strict=False).alias("dest"),
+    )
+
+
+_register("mirror_path", _q_mirror_path, None)
+
+
+def _mirror_path_tail_oracle() -> None:
+    from crawlspark.functions.paths import mirror_path_oracle_sql
+
+    inner = mirror_path_oracle_sql(
+        f"(SELECT doc_id, {_MP_URL_DUCK} AS url FROM documents)", "url",
+        format_paths=True,
+    )
+    # re-attach doc_id: the oracle SELECT keys by url, which collides
+    # across docs only for NULL-dest shapes — join back on the same
+    # generated url expression per doc_id instead
+    _TAIL_ORACLES["mirror_path"] = f"""
+      WITH src AS (SELECT doc_id, {_MP_URL_DUCK} AS url FROM documents),
+      dests AS ({mirror_path_oracle_sql('src', 'url', format_paths=True)})
+      SELECT DISTINCT s.doc_id, s.url, d.dest
+      FROM src s JOIN dests d ON d.url = s.url
+    """
+
+
+_mirror_path_tail_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -16,9 +16,11 @@ Semantics (documented, deliberately simple at the edges):
   * each of ``iterations`` rounds: every node divides its rank by its
     out-degree (floor), destinations sum received contributions, and
     new_rank = (1-d)*1e6 + floor(d * contrib_sum) with d = 0.85;
-  * nodes with no outlinks (dangling) leak their mass — the classic
-    redistribute-to-all variant needs a global scalar per round, which
-    is one extra tiny aggregate; omitted to keep the oracle small;
+  * nodes with no outlinks (dangling) leak their mass by default;
+    ``redistribute_dangling=True`` enables the classic full variant —
+    each round the dangling mass is split evenly (floor) across all
+    nodes via one tiny 1-row aggregate cross-broadcast into the
+    update (never a driver collect);
   * floor-division truncation loses <1 micro-unit per edge per round —
     irrelevant for ranking, essential for exactness.
 
@@ -45,11 +47,19 @@ def pagerank_micro(
     iterations: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-``iterations`` PageRank over an edge list, integer
     micro-units. Returns (node, rank_micro). The node set is every id
     appearing as src or dst; duplicate edges should be pre-distinct'd
-    by the caller (they'd double-count contributions)."""
+    by the caller (they'd double-count contributions).
+
+    ``redistribute_dangling=True`` is the classic full variant: each
+    round, the mass held by out-degree-0 nodes is split evenly across
+    all nodes (floor per node) before damping, so total mass no longer
+    leaks. Costs one extra tiny aggregate per round — a 1-row DataFrame
+    cross-broadcast into the update, never a driver collect — plus one
+    up-front node count."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -58,6 +68,7 @@ def pagerank_micro(
         .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint(eager=True)
+    n_nodes = nodes.count() if redistribute_dangling else 0
     ranks = nodes.select("node", F.lit(BASE_MICRO).cast("long").alias("rank_micro"))
     for _ in range(iterations):
         contrib = (
@@ -70,13 +81,26 @@ def pagerank_micro(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        updated = nodes.join(contrib, nodes.node == contrib.dst, "left")
+        if redistribute_dangling:
+            # dangling mass this round: ranks of nodes with no outlinks
+            # (1-row aggregate, broadcast — the whole rank table never
+            # funnels through the driver)
+            dang = (
+                ranks.join(deg, ranks.node == deg.src, "left_anti")
+                .agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).cast("long").alias("__dang"))
+            )
+            share = f"__dang DIV {n_nodes}"
+            updated = updated.crossJoin(F.broadcast(dang))
+            recv = f"(coalesce(s, 0) + {share})"
+        else:
+            recv = "coalesce(s, 0)"
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
+            updated.select(
                 "node",
                 (
                     F.lit(TELEPORT_MICRO)
-                    + F.expr(f"coalesce(s, 0) * {DAMP_NUM} DIV {DAMP_DEN}")
+                    + F.expr(f"{recv} * {DAMP_NUM} DIV {DAMP_DEN}")
                 ).cast("long").alias("rank_micro"),
             )
             .localCheckpoint(eager=True)
@@ -84,21 +108,37 @@ def pagerank_micro(
     return ranks
 
 
-def pagerank_sql(edges_cte: str, iterations: int = 5) -> str:
+def pagerank_sql(
+    edges_cte: str, iterations: int = 5, redistribute_dangling: bool = False
+) -> str:
     """DuckDB twin: ``edges_cte`` is the body of a CTE producing
     (src, dst); the fixed iteration count unrolls into chained CTEs —
-    same integer arithmetic, bit-exact against :func:`pagerank_micro`."""
+    same integer arithmetic, bit-exact against :func:`pagerank_micro`,
+    including the per-round dangling-mass scalar when
+    ``redistribute_dangling``."""
     parts = [
         f"edges AS ({edges_cte})",
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
         "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
+        "ncnt AS (SELECT count(*) AS n FROM nodes)",
         f"r0 AS (SELECT node, CAST({BASE_MICRO} AS BIGINT) AS rank_micro FROM nodes)",
     ]
     for i in range(1, iterations + 1):
+        if redistribute_dangling:
+            parts.append(
+                f"""d{i} AS (
+                  SELECT coalesce(sum(r.rank_micro), 0)
+                         // (SELECT n FROM ncnt) AS share
+                  FROM r{i - 1} r LEFT JOIN deg d ON r.node = d.src
+                  WHERE d.src IS NULL)"""
+            )
+            recv = f"(coalesce(s.s, 0) + (SELECT share FROM d{i}))"
+        else:
+            recv = "coalesce(s.s, 0)"
         parts.append(
             f"""r{i} AS (
               SELECT n.node,
-                     CAST({TELEPORT_MICRO} + coalesce(s.s, 0) * {DAMP_NUM} // {DAMP_DEN}
+                     CAST({TELEPORT_MICRO} + {recv} * {DAMP_NUM} // {DAMP_DEN}
                           AS BIGINT) AS rank_micro
               FROM nodes n LEFT JOIN (
                 SELECT e.dst, sum(r.rank_micro // d.out_deg) AS s

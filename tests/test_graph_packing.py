@@ -72,6 +72,62 @@ def test_pagerank_sql_twin_matches(spark):
     assert spark_ranks == duck_ranks
 
 
+def _pagerank_py_dangling(edges, iterations=5):
+    """Independent integer PageRank WITH dangling-mass redistribution:
+    per round, the summed rank of out-degree-0 nodes is split evenly
+    (floor) across all nodes before damping."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(iterations):
+        recv = {n: 0 for n in nodes}
+        for s, d in edges:
+            recv[d] += rank[s] // deg[s]
+        share = sum(rank[n] for n in nodes if n not in deg) // len(nodes)
+        rank = {n: 150_000 + (recv[n] + share) * 85 // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_dangling_redistribution_matches_python_reference(spark):
+    from crawlspark.operators.graph import pagerank_micro
+
+    # node 5 dangles; without redistribution its mass leaks every round
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1), (1, 2), (2, 3), (3, 4), (4, 1), (2, 5)]
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_micro(df, iterations=5, redistribute_dangling=True).collect()
+    }
+    exp = _pagerank_py_dangling(edges)
+    assert got == exp
+    # redistribution retains strictly more total mass than the leaky
+    # default (floor losses only), and can't exceed the initial total
+    leaky = sum(_pagerank_py(edges).values())
+    assert leaky < sum(exp.values()) <= len(exp) * 1_000_000
+
+
+def test_pagerank_dangling_sql_twin_matches(spark):
+    import duckdb
+
+    from crawlspark.operators.graph import pagerank_micro, pagerank_sql
+
+    edges = [(i, (i * 3 + 1) % 7) for i in range(7)] + [(7, 0), (0, 8)]  # 8 dangles
+    edges = sorted(set(edges))
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    spark_ranks = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_micro(df, 4, redistribute_dangling=True).collect()
+    }
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = pagerank_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", 4, redistribute_dangling=True
+    )
+    duck_ranks = dict(duckdb.sql(sql).fetchall())
+    assert spark_ranks == duck_ranks
+
+
 def test_sequence_pack_offsets_and_bins(spark):
     from crawlspark.operators.packing import sequence_pack
 
