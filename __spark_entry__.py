@@ -726,6 +726,25 @@ _register(
 )
 
 
+def _q_dedup_minhash_lsh_xx(spark, sf_dir):
+    """The 100 TB shuffle configuration of the capped LSH: xxhash64
+    signatures and band keys (8-byte longs) instead of md5 hex strings
+    (32 chars) — ~4x fewer key bytes through the signature shuffle and
+    band self-join. Rows-only: the min lands on a different shingle per
+    slot, so the pair set differs statistically from the md5 twin; the
+    guarantee that matters (identical docs and ~0.95-Jaccard planted
+    pairs always collide) is pinned by tests/test_dedup_skew.py."""
+    from crawlspark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=_MH_N, band_size=_MH_BAND, k=_MH_K,
+        max_bucket_size=_MH_CAP, hash_fn="xxhash64",
+    )
+
+
+_register("dedup_minhash_lsh_xx", _q_dedup_minhash_lsh_xx, None)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from crawlspark.operators.textops import simhash64_agg
 

@@ -58,29 +58,56 @@ def minhash_signature(text: Column | str, num_hashes: int = 8, k: int = 3) -> li
 
 
 def minhash_signature_agg(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                          num_hashes: int = 8, k: int = 3) -> DataFrame:
+                          num_hashes: int = 8, k: int = 3,
+                          hash_fn: str = "md5") -> DataFrame:
     """Signature via explode + min-aggregate: the shingle array is built
-    ONCE per doc (vs once per signature column), the per-shingle md5 work
-    distributes across cores after the explode, and the groupBy mins are
-    map-side partial. Same result as ``minhash_signature``."""
+    ONCE per doc (vs once per signature column), the per-shingle hash
+    work distributes across cores after the explode, and the groupBy
+    mins are map-side partial. Same result as ``minhash_signature``.
+
+    ``hash_fn``: ``"md5"`` (default) keeps 32-char hex strings — the
+    dialect-portable choice the DuckDB oracle can replay exactly.
+    ``"xxhash64"`` uses Spark's seeded 64-bit hash: signature and band
+    keys become 8-byte longs, cutting signature-shuffle and band-join
+    key bytes ~4x — the 100 TB configuration. Same LSH collision
+    semantics (uniform hash, per-seed independence); the min lands on a
+    different shingle, so pair sets differ statistically but identical
+    docs always collide under either."""
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
-    return sh.groupBy(id_col).agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ])
+    if hash_fn == "md5":
+        slots = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        # seed via xxhash64's own seed slot (F.lit(i) first arg feeds the
+        # multi-arg chain) — one JVM intrinsic per shingle per slot
+        slots = [
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    return sh.groupBy(id_col).agg(*slots)
 
 
 def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  num_hashes: int = 8, band_size: int = 2, k: int = 3) -> DataFrame:
-    """(id, band_idx, band_key) — one row per band; band_key is the md5
-    of the band's concatenated signature slots."""
-    sigs = minhash_signature_agg(df, id_col, text_col, num_hashes, k)
+                  num_hashes: int = 8, band_size: int = 2, k: int = 3,
+                  hash_fn: str = "md5") -> DataFrame:
+    """(id, band_idx, band_key) — one row per band; band_key hashes the
+    band's signature slots (md5 hex string, or xxhash64 long for the
+    narrow-shuffle variant)."""
+    sigs = minhash_signature_agg(df, id_col, text_col, num_hashes, k, hash_fn=hash_fn)
     n_bands = num_hashes // band_size
+
+    def band_key(b: int) -> Column:
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
+
     bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(F.concat_ws("|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)])).alias("band_key"),
-        )
+        F.struct(F.lit(b).alias("band_idx"), band_key(b).alias("band_key"))
         for b in range(n_bands)
     ])
     return sigs.select(id_col, F.explode(bands).alias("b")).select(
@@ -90,7 +117,8 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 8, band_size: int = 2, k: int = 3,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      hash_fn: str = "md5") -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band. Output
     (id_a, id_b) with id_a < id_b, distinct.
 
@@ -100,7 +128,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     members are near-identical boilerplate better handled by exact
     dedup on the fingerprint; this is the standard cap-and-spill policy
     for LSH at corpus scale. None (default) keeps exact semantics."""
-    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, k)
+    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, k, hash_fn=hash_fn)
     if max_bucket_size is not None:
         sizes = bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("__n"))
         bands = (

@@ -66,6 +66,27 @@ def test_cap_none_keeps_exact_semantics_on_small_corpus(spark):
     assert capped == uncapped
 
 
+def test_xxhash64_variant_matches_md5_on_planted_dups(spark):
+    """The narrow-shuffle xxhash64 signature path (8-byte keys instead
+    of 32-char hex) must find every planted near-dup pair the md5 path
+    finds on this corpus: pairs differ by 1 word in ~55 (Jaccard ~0.95),
+    so all bands collide w.h.p. under ANY uniform hash; identical docs
+    collide with certainty. Also pins the key dtypes the 4x shuffle
+    saving comes from."""
+    docs = _skew_corpus(spark, n_boiler=200, n_unique=60)
+    expect = {(200 + 2 * i, 200 + 2 * i + 1) for i in range(30)}
+    for hash_fn, key_type in (("md5", "string"), ("xxhash64", "bigint")):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                docs, max_bucket_size=100, hash_fn=hash_fn
+            ).collect()
+        }
+        assert expect <= pairs, hash_fn
+        bands = minhash_bands(docs, hash_fn=hash_fn)
+        assert dict(bands.dtypes)["band_key"] == key_type
+
+
 def test_connected_components_goldens(spark):
     from pyspark.sql import Row
 
