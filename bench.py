@@ -37,7 +37,8 @@ HEADLINERS = [
     "cursor_range_filter", "topk_per_key", "frontier_dequeue", "sessionize",
     "count_by_day_type", "merge_aggregate", "hash_prefix_bin",
     "pricing_summary", "region_revenue_join",
-    "dedup_exact", "dedup_minhash_lsh_capped", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_lsh_capped", "dedup_minhash_lsh_xx",
+    "dedup_simhash",
     "token_count", "quality_score", "lang_id", "fingerprint",
     "embedding_topk", "bloom_seen_filter",
 ]
@@ -121,6 +122,58 @@ def run_queries() -> tuple[dict[str, float], list[float]]:
 # were storm-affected. This gates WHEN we measure, never WHAT.
 _QUIET_LOAD = float(os.environ.get("CRAWLSPARK_BENCH_QUIET_LOAD", "2.5"))
 _QUIET_BUDGET = [float(os.environ.get("CRAWLSPARK_BENCH_QUIET_BUDGET_SEC", "900"))]
+
+
+def run_media_bench() -> dict:
+    """Decode throughput of the pure-numpy media codecs (MB/s, and per
+    core) — quantifies the 100 TB cost of running JPEG/PNG decode in
+    Python: these numbers ARE the argument for swapping libjpeg-turbo /
+    libpng in on a real cluster (operators/jpeg.py:19-21 documents the
+    swap point; the Spark-side plumbing — schema, mapInPandas batch
+    shape, poison isolation — is codec-independent)."""
+    import numpy as np
+
+    from crawlspark.operators.jpeg import encode_jpeg
+    from crawlspark.operators.multimodal import MEDIA_SCHEMA, decode_media, encode_png
+    from crawlspark.session import get_spark
+
+    spark = get_spark("bench-media", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+
+    def payloads(kind: str, n: int) -> list[bytes]:
+        out = []
+        for i in range(n):
+            # 96..192 px: big enough that decode wall (>~2 s/job) swamps
+            # per-task scheduling, small enough to keep the bench quick
+            h = w = 96 + (i % 4) * 32
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [(yy * 3 + i) % 256, (xx * 5 + 2 * i) % 256, (yy + xx + 7 * i) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            out.append(
+                encode_jpeg(px, quality=75, subsample=True) if kind == "jpeg"
+                else encode_png(px)
+            )
+        return out
+
+    stats: dict[str, float] = {}
+    for kind in ("jpeg", "png"):
+        ps = payloads(kind, 2 * CPUS)
+        mb = sum(len(p) for p in ps) / 1e6
+        df = spark.createDataFrame(
+            [(i, "image", p) for i, p in enumerate(ps)], MEDIA_SCHEMA
+        ).repartition(CPUS)
+        decode_media(df).write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            decode_media(df).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        stats[f"{kind}_payload_mb"] = round(mb, 3)
+        stats[f"{kind}_mb_s"] = round(mb / best, 3)
+        stats[f"{kind}_mb_s_per_core"] = round(mb / best / CPUS, 4)
+    spark.stop()
+    return stats
 
 
 def _wait_quiet() -> float:
@@ -520,6 +573,10 @@ def write_bench_md(crawl: dict, queries: dict[str, float], controls: list[float]
 
 def main() -> None:
     timings, controls = run_queries()
+    try:
+        media = run_media_bench()
+    except Exception as e:  # never lose the queries JSON to a codec hiccup
+        media = {"error": str(e)[:200]}
     crawl = {}
     if os.environ.get("CRAWLSPARK_BENCH_SKIP_CRAWL") != "1":
         try:
@@ -545,6 +602,9 @@ def main() -> None:
         # strip the shared box's compute-phase swing
         "headline_control_sec": controls,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        # pure-python codec decode rate: the quantified 100 TB cost of
+        # not having libjpeg in the container (see BENCH/BASELINE.md)
+        "media": media,
         "crawl": crawl,
     }))
 
