@@ -194,6 +194,8 @@ class CrawlConfig:
     # always-on QA that tolerates the 1.5x.
     analyze: bool = False
     broadcast_threshold: int = 100_000  # dequeues larger than this use a shuffle-hash join
+    phase1_checkpoint: bool = False  # politeness phase-1 relation: localCheckpoint
+    # instead of cache (round-5 A/B lever — see BENCH/BASELINE.md)
     local_checkpoint: bool = False   # truncate plan lineage at the epoch's cached
     # relations: the epoch plan tree is deep, and every downstream action pays
     # Catalyst analysis of the whole tree; checkpointing caps driver-side
@@ -371,10 +373,14 @@ def web_crawl(
         allowed = apply_robots(pending, robots)
         if cfg.global_budget_per_epoch is None:
             dequeued, remaining, phase1 = topk_per_host_split(
-                allowed, host_budgets, cfg.default_budget, salt=cfg.salt
+                allowed, host_budgets, cfg.default_budget, salt=cfg.salt,
+                checkpoint=cfg.phase1_checkpoint,
             )
         else:
-            phase1 = allowed.cache()
+            phase1 = (
+                allowed.localCheckpoint(eager=False)
+                if cfg.phase1_checkpoint else allowed.cache()
+            )
             dequeued = topk_per_host(phase1, host_budgets, cfg.default_budget, salt=cfg.salt)
             dequeued = ordered_limit(dequeued, cfg.global_budget_per_epoch, list(ORDER_COLS))
             remaining = None  # derived below from the final dequeued set

@@ -88,73 +88,9 @@ def exp_b_one_big_epoch(workdir: str, reps: int = 2) -> dict:
     return {**out, "speedup": round(sp, 3), "scaling_efficiency": round(sp / 4, 3)}
 
 
-def _parse_eventlog(evdir: str, cores: int) -> dict:
-    """Sum task metrics for crawl-epoch-tagged jobs from the newest
-    event log in evdir. Returns CPU s, run-time s, GC s, epoch wall s,
-    occupancy."""
-    paths = sorted(glob.glob(os.path.join(evdir, "*")), key=os.path.getmtime)
-    if not paths:
-        return {"error": "no event log"}
-    if os.path.isdir(paths[-1]):  # Spark 4 rolling layout: events_N_appid files
-        paths = sorted(
-            glob.glob(os.path.join(paths[-1], "events_*")),
-            key=lambda p: int(os.path.basename(p).split("_")[1]),
-        )
-        if not paths:
-            return {"error": "no events_* file in rolling dir"}
-    else:
-        paths = paths[-1:]  # flat layout: newest run's single file only
-    epoch_stages: set[int] = set()
-    stage_windows: dict[int, tuple[int, int]] = {}
-    stage_epoch: dict[int, str] = {}
-    cpu_ns = run_ms = gc_ms = 0
-
-    def _lines():
-        for p in paths:
-            with open(p) as f:
-                yield from f
-
-    if True:  # keep the original loop body's indentation
-        for line in _lines():
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                desc = (ev.get("Properties") or {}).get("spark.job.description", "")
-                if desc.startswith("crawl-epoch-") and "warmcrawl" not in desc:
-                    for si in ev.get("Stage Infos", []):
-                        epoch_stages.add(si["Stage ID"])
-                        stage_epoch[si["Stage ID"]] = desc
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = si["Stage ID"]
-                if sid in epoch_stages and si.get("Submission Time"):
-                    stage_windows[sid] = (si["Submission Time"], si["Completion Time"])
-            elif e == "SparkListenerTaskEnd":
-                if ev.get("Stage ID") in epoch_stages:
-                    tm = ev.get("Task Metrics") or {}
-                    cpu_ns += tm.get("Executor CPU Time", 0)
-                    run_ms += tm.get("Executor Run Time", 0)
-                    gc_ms += tm.get("JVM GC Time", 0)
-    # wall per epoch = span of that epoch's stage windows (stages within
-    # an epoch overlap; epochs are strictly sequential)
-    per_epoch: dict[str, tuple[int, int]] = {}
-    for sid, (lo, hi) in stage_windows.items():
-        tag = stage_epoch[sid]
-        cur = per_epoch.get(tag)
-        per_epoch[tag] = (min(lo, cur[0]) if cur else lo, max(hi, cur[1]) if cur else hi)
-    wall_s = sum((hi - lo) for lo, hi in per_epoch.values()) / 1000.0
-    run_s = run_ms / 1000.0
-    return {
-        "cpu_s": round(cpu_ns / 1e9, 1),
-        "run_s": round(run_s, 1),
-        "gc_s": round(gc_ms / 1000.0, 1),
-        "epoch_wall_s": round(wall_s, 1),
-        "occupancy": round(run_s / (cores * wall_s), 3) if wall_s else None,
-        "n_epochs_tagged": len(per_epoch),
-    }
+# _parse_eventlog moved into bench.py (round 5) so the per-round bench
+# decomposes the criterion pair itself; keep the old name as an alias.
+_parse_eventlog = bench._parse_eventlog
 
 
 def exp_d_pairs_decomposed(corpus: str, workdir: str, reps: int = 2,
