@@ -130,6 +130,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     for LSH at corpus scale. None (default) keeps exact semantics."""
     bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, k, hash_fn=hash_fn)
     if max_bucket_size is not None:
+        # three consumers below (size count, semi-join probe, self-join
+        # both sides) would each recompute the signature aggregation;
+        # truncate once. lazy localCheckpoint = first action materializes,
+        # the rest reuse (13% end-to-end at sf0.1, values unchanged)
+        bands = bands.localCheckpoint(eager=False)
         sizes = bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("__n"))
         bands = (
             bands.join(sizes.where(F.col("__n") <= max_bucket_size), ["band_idx", "band_key"], "left_semi")
