@@ -2207,6 +2207,115 @@ def _mirror_path_tail_oracle() -> None:
 _mirror_path_tail_oracle()
 
 
+# -- C4 line filter + Gopher quality rules (webtext curation) ----------------
+# The two canonical pre-dedup curation filters (Raffel et al. 2020 §2.2;
+# Rae et al. 2021 A1.1) as expression-only per-row ops. Tail oracles:
+# the driver's 50-entry window is full; the pytest parity gate runs the
+# exact twins. The synthetic documents carry no newlines or punctuation,
+# so the registered c4 query lineifies deterministically (7-word lines,
+# same regexp in both engines) and uses corpus-exercisable parameters
+# (no terminal-punct rule, blockword 'slow' from the corpus vocabulary);
+# the faithful C4 defaults are pinned by tests/test_webfilters.py.
+_C4_WPL, _C4_MINW, _C4_MINKEPT, _C4_BLOCK = 7, 5, 3, "slow"
+
+
+def _q_c4_line_filter(spark, sf_dir):
+    from crawlspark.operators.webfilters import c4_line_filter, lineify
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", lineify("text", _C4_WPL).alias("text")
+    )
+    return c4_line_filter(
+        docs, min_words_per_line=_C4_MINW, min_kept_lines=_C4_MINKEPT,
+        require_terminal_punct=False, line_blockwords=(_C4_BLOCK,),
+    )
+
+
+def _c4_tail_oracle() -> str:
+    from crawlspark.operators.webfilters import lineify_sql
+
+    return f"""
+      WITH lin AS (SELECT doc_id, {lineify_sql('text', _C4_WPL)} AS t FROM documents),
+      l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM lin),
+      k AS (SELECT doc_id, t, len(lines) AS nl,
+             list_filter(lines, x -> len(trim(x)) > 0
+               AND len(string_split(trim(x), ' ')) >= {_C4_MINW}
+               AND instr(' ' || lower(trim(x)) || ' ', ' {_C4_BLOCK} ') = 0) AS kept
+        FROM l)
+      SELECT doc_id, CAST(nl AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+             (len(kept) >= {_C4_MINKEPT}
+              AND NOT contains(lower(t), 'lorem ipsum')
+              AND NOT contains(lower(t), '{{')) AS keep
+      FROM k"""
+
+
+_register("c4_line_filter", _q_c4_line_filter, None)
+_TAIL_ORACLES["c4_line_filter"] = _c4_tail_oracle()
+
+
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher A1.1 flags with the corpus-aware stopword set (the paper's
+    be/that/have/with never occur in the synthetic vocabulary — the
+    presence rule would be all-false and vacuous; textops.STOPWORDS
+    keeps it discriminating). Paper thresholds otherwise."""
+    from crawlspark.operators.textops import STOPWORDS
+    from crawlspark.operators.webfilters import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, stopwords=tuple(STOPWORDS))
+
+
+def _gopher_tail_oracle() -> str:
+    from crawlspark.operators.textops import STOPWORDS
+    from crawlspark.operators import webfilters as wf
+
+    stop_sum = " + ".join(
+        f"CASE WHEN instr(' ' || lower(text) || ' ', ' {w} ') > 0 THEN 1 ELSE 0 END"
+        for w in STOPWORDS
+    )
+    return f"""
+      WITH base AS (
+        SELECT doc_id, text,
+               len(text) - len(replace(text, ' ', '')) + 1 AS nw,
+               string_split(text, chr(10)) AS lines,
+               string_split(text, ' ') AS words
+        FROM documents
+      ), m AS (
+        SELECT doc_id,
+          CAST(nw AS BIGINT) AS n_words,
+          CAST(floor((len(text) - (nw - 1)) * 1000000 / nw) AS BIGINT) AS mean_word_len_micro,
+          CAST(floor((
+              CAST((len(text) - len(replace(text, '#', ''))) / 1 AS BIGINT)
+            + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT)
+          ) * 1000000 / nw) AS BIGINT) AS symbol_ratio_micro,
+          CAST(floor(len(list_filter(lines, x -> starts_with(trim(x), '-')
+            OR starts_with(trim(x), '*'))) * 1000000 / len(lines)) AS BIGINT)
+            AS bullet_line_frac_micro,
+          CAST(floor(len(list_filter(lines, x -> ends_with(trim(x), '...')))
+            * 1000000 / len(lines)) AS BIGINT) AS ellipsis_line_frac_micro,
+          CAST(floor(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+            * 1000000 / nw) AS BIGINT) AS alpha_word_frac_micro,
+          CAST({stop_sum} AS BIGINT) AS stop_hits
+        FROM base
+      )
+      SELECT *,
+        (n_words >= {wf.GOPHER_MIN_WORDS} AND n_words <= {wf.GOPHER_MAX_WORDS}
+         AND mean_word_len_micro >= {wf.GOPHER_MIN_MEAN_WORD_LEN_MICRO}
+         AND mean_word_len_micro <= {wf.GOPHER_MAX_MEAN_WORD_LEN_MICRO}
+         AND symbol_ratio_micro <= {wf.GOPHER_MAX_SYMBOL_RATIO_MICRO}
+         AND bullet_line_frac_micro <= {wf.GOPHER_MAX_BULLET_FRAC_MICRO}
+         AND ellipsis_line_frac_micro <= {wf.GOPHER_MAX_ELLIPSIS_FRAC_MICRO}
+         AND alpha_word_frac_micro >= {wf.GOPHER_MIN_ALPHA_FRAC_MICRO}
+         AND stop_hits >= {wf.GOPHER_MIN_STOP_HITS}) AS keep
+      FROM m"""
+
+
+_register("gopher_quality", _q_gopher_quality, None)
+_TAIL_ORACLES["gopher_quality"] = _gopher_tail_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
