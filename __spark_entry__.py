@@ -2316,6 +2316,54 @@ _register("gopher_quality", _q_gopher_quality, None)
 _TAIL_ORACLES["gopher_quality"] = _gopher_tail_oracle()
 
 
+# -- inbound anchor-text aggregation ------------------------------------------
+# The classic web-graph text signal, over the same deterministic link
+# graph as `pagerank` with anchors cut from the source doc's text
+# (2 words at a src-dependent offset — deterministic variety, many
+# targets receive the same anchor from different sources).
+def _q_anchor_text(spark, sf_dir):
+    from crawlspark.operators.anchors import aggregate_anchor_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.groupBy().count().withColumnRenamed("count", "n")
+    a = d.crossJoin(F.broadcast(n))
+    # single-word anchors off a src-dependent offset: the ~30-word
+    # synthetic vocabulary makes anchors collide, so counts (not just
+    # the tie-break) drive the rank; the % 97 hub edge gives dsts < 97
+    # web-like indegree skew, same shape as the pagerank graph
+    anchor = F.element_at(F.split("text", " "), (F.col("doc_id") % 4 + 1).cast("int"))
+    edges = None
+    for mult, off in ((7, 1), (31, 2), (101, 3)):
+        e = a.select(
+            ((F.col("doc_id") * mult + off) % F.col("n")).alias("dst"),
+            anchor.alias("anchor"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    hub = a.select((F.col("doc_id") % 97).alias("dst"), anchor.alias("anchor"))
+    return aggregate_anchor_text(edges.unionByName(hub), k_top=3, salt=4)
+
+
+def _anchor_tail_oracle() -> str:
+    from crawlspark.operators.anchors import aggregate_anchor_text_sql
+
+    anchor = "string_split(text, ' ')[CAST(a.doc_id % 4 + 1 AS INT)]"
+    edges = f"""
+      WITH nn AS (SELECT count(*) AS n FROM documents)
+      SELECT (a.doc_id * 7 + 1) % nn.n AS dst, {anchor} AS anchor FROM documents a, nn
+      UNION ALL
+      SELECT (a.doc_id * 31 + 2) % nn.n, {anchor} FROM documents a, nn
+      UNION ALL
+      SELECT (a.doc_id * 101 + 3) % nn.n, {anchor} FROM documents a, nn
+      UNION ALL
+      SELECT a.doc_id % 97, {anchor} FROM documents a
+    """
+    return aggregate_anchor_text_sql(edges, k_top=3)
+
+
+_register("anchor_text_agg", _q_anchor_text, None)
+_TAIL_ORACLES["anchor_text_agg"] = _anchor_tail_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
