@@ -2364,6 +2364,67 @@ _register("anchor_text_agg", _q_anchor_text, None)
 _TAIL_ORACLES["anchor_text_agg"] = _anchor_tail_oracle()
 
 
+# -- robots.txt Sitemap directive capture -------------------------------------
+# Host-global Sitemap: lines (sitemaps.org protocol) captured by the
+# same expression-only line fold as the disallow rules — the discovery
+# link robots → parse_sitemaps → seeds. The oracle re-derives them
+# independently as a per-line regexp scan (group membership is
+# irrelevant for sitemaps, so the twin needs no fold).
+_ROBOTS_SM_BODIES = [
+    "Sitemap: https://s0.example/a.xml\nUser-agent: *\nDisallow: /p/\n",
+    "User-agent: googlebot\nDisallow: /g/\nSitemap: https://s1.example/b.xml\n",
+    "sitemap: https://s2.example/c.xml # primary\nsitemap: https://s2.example/d.xml\n",
+    "User-agent: *\r\nSitemap: https://s3.example/e.xml\r\n",
+    "User-agent: *\nDisallow: /x\n",
+    "",
+]
+
+
+def _q_robots_sitemaps(spark, sf_dir):
+    from crawlspark.operators.politeness import parse_robots_txt
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit(".example")).alias("host"),
+        F.element_at(
+            F.array(*[F.lit(b) for b in _ROBOTS_SM_BODIES]),
+            (F.col("doc_id") % len(_ROBOTS_SM_BODIES) + 1).cast("int"),
+        ).alias("robots_txt"),
+    )
+    parsed = parse_robots_txt(docs)
+    return parsed.select(
+        "host",
+        F.size("sitemap_urls").cast("long").alias("n_sitemaps"),
+        F.array_join("sitemap_urls", "|").alias("sitemaps"),
+    )
+
+
+def _robots_sm_tail_oracle() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{b}'".replace("\r", "' || chr(13) || '").replace("\n", "' || chr(10) || '")
+        for i, b in enumerate(_ROBOTS_SM_BODIES)
+    )
+    return f"""
+      WITH b AS (
+        SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example' AS host,
+               CASE CAST(doc_id % {len(_ROBOTS_SM_BODIES)} AS INT) {cases} END AS body
+        FROM documents
+      ), sm AS (
+        SELECT host,
+               list_filter(
+                 list_transform(string_split(body, chr(10)),
+                   l -> regexp_extract(l, '(?i)^\\s*sitemap\\s*:\\s*([^#\\s]+)', 1)),
+                 x -> x != '') AS urls
+        FROM b
+      )
+      SELECT host, CAST(len(urls) AS BIGINT) AS n_sitemaps,
+             coalesce(array_to_string(urls, '|'), '') AS sitemaps
+      FROM sm"""
+
+
+_register("robots_sitemaps", _q_robots_sitemaps, None)
+_TAIL_ORACLES["robots_sitemaps"] = _robots_sm_tail_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -41,6 +41,7 @@ HEADLINERS = [
     "dedup_simhash",
     "token_count", "quality_score", "lang_id", "fingerprint",
     "embedding_topk", "bloom_seen_filter",
+    "gopher_quality", "c4_line_filter", "anchor_text_agg",
 ]
 
 CRAWL_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "1200000"))

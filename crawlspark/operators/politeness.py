@@ -52,7 +52,13 @@ def parse_robots_txt(
     Also captures the de-facto ``Crawl-delay:`` directive for groups
     that apply to us (last occurrence wins) as ``crawl_delay_s``
     (double seconds, NULL when absent) — feed it to
-    :func:`budgets_from_crawl_delay` for per-host token budgets."""
+    :func:`budgets_from_crawl_delay` for per-host token budgets — and
+    ``Sitemap:`` directives (sitemaps.org protocol: host-global, NOT
+    scoped to any user-agent group, so they accumulate whether or not a
+    group applies to us) as ``sitemap_urls`` in file order — feed them
+    to :func:`sitemaps.parse_sitemaps` for seed discovery. A Sitemap
+    line is a regular directive line: like any non-UA record it ends a
+    stacked user-agent run."""
     body = F.col(body_col)
     lines = F.split(body, "\r?\n")
     init = F.struct(
@@ -60,12 +66,14 @@ def parse_robots_txt(
         F.lit(False).alias("ua_run"),    # previous line was a User-agent line
         F.array().cast("array<string>").alias("acc"),
         F.lit(None).cast("string").alias("cd"),
+        F.array().cast("array<string>").alias("sm"),
     )
 
     def step(s, ln):
         ua = F.regexp_extract(ln, r"(?i)^\s*user-agent\s*:\s*([^#\s]+)", 1)
         dis = F.regexp_extract(ln, r"(?i)^\s*disallow\s*:\s*([^#\s]*)", 1)
         cdv = F.regexp_extract(ln, r"(?i)^\s*crawl-delay\s*:\s*([0-9]*\.?[0-9]+)", 1)
+        smv = F.regexp_extract(ln, r"(?i)^\s*sitemap\s*:\s*([^#\s]+)", 1)
         is_ua = ua != ""
         # comment / blank lines are stripped before parsing (RFC 9309):
         # they must not end a stacked user-agent run
@@ -75,15 +83,18 @@ def parse_robots_txt(
         on = F.when(is_ua, (ua == "*") | (s.on & s.ua_run)).otherwise(s.on)
         acc = F.when(on & ~is_ua & (dis != ""), F.array_append(s.acc, dis)).otherwise(s.acc)
         cd = F.when(on & ~is_ua & (cdv != ""), cdv).otherwise(s.cd)
+        sm = F.when(smv != "", F.array_append(s.sm, smv)).otherwise(s.sm)
         return F.when(is_noise, s).otherwise(
-            F.struct(on.alias("on"), is_ua.alias("ua_run"), acc.alias("acc"), cd.alias("cd"))
+            F.struct(on.alias("on"), is_ua.alias("ua_run"), acc.alias("acc"),
+                     cd.alias("cd"), sm.alias("sm"))
         )
 
     # fold once into a struct column, pick fields in a SECOND select:
     # two downstream references stop CollapseProject from inlining the
     # whole line fold into each output column (the winnow barrier trick)
     folded = F.aggregate(
-        lines, init, step, lambda s: F.struct(s.acc.alias("acc"), s.cd.alias("cd"))
+        lines, init, step,
+        lambda s: F.struct(s.acc.alias("acc"), s.cd.alias("cd"), s.sm.alias("sm")),
     )
     return robots_bodies.select(
         F.col(host_col).alias("host"), folded.alias("__r")
@@ -91,6 +102,17 @@ def parse_robots_txt(
         "host",
         F.col("__r.acc").alias("disallow_prefixes"),
         F.col("__r.cd").cast("double").alias("crawl_delay_s"),
+        F.col("__r.sm").alias("sitemap_urls"),
+    )
+
+
+def sitemaps_from_robots(robots: DataFrame) -> DataFrame:
+    """(host, sitemap_url) rows from :func:`parse_robots_txt` output —
+    the fetch list for sitemap-based seed discovery (feed the fetched
+    bodies to ``sitemaps.parse_sitemaps`` / ``seeds_from_sitemaps``).
+    Hosts without Sitemap directives drop out."""
+    return robots.select(
+        "host", F.explode("sitemap_urls").alias("sitemap_url")
     )
 
 
@@ -129,8 +151,11 @@ def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
     )
     # drop() ignores absent columns, so both robots shapes — the bare
     # (host, disallow_prefixes) cache and parse_robots_txt's output with
-    # crawl_delay_s — pass through without widening the candidate schema
-    return joined.where(~blocked).drop("disallow_prefixes", "crawl_delay_s")
+    # crawl_delay_s / sitemap_urls — pass through without widening the
+    # candidate schema
+    return joined.where(~blocked).drop(
+        "disallow_prefixes", "crawl_delay_s", "sitemap_urls"
+    )
 
 
 def topk_per_host_split(

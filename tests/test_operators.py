@@ -229,6 +229,51 @@ def test_parse_robots_txt_goldens(spark):
     assert kept == {"https://a.example/public/x", "https://e.example/x/y"}
 
 
+def test_parse_robots_sitemap_directives(spark):
+    from pyspark.sql import Row
+
+    from crawlspark.operators.politeness import (
+        parse_robots_txt,
+        sitemaps_from_robots,
+    )
+
+    bodies = {
+        # sitemaps are host-global: captured even inside a group that
+        # does NOT apply to us, and outside any group
+        "a.example": (
+            "Sitemap: https://a.example/sm0.xml\n"
+            "User-agent: googlebot\nDisallow: /g/\n"
+            "Sitemap: https://a.example/sm1.xml\n"
+            "User-agent: *\nDisallow: /p/\n"
+        ),
+        # case-insensitive key, inline comment stripped by [^#\s]
+        "b.example": "sitemap: https://b.example/s.xml # primary\n",
+        # a Sitemap line between stacked UA lines ends the run: the *
+        # group below starts fresh, so /x applies but googlebot's
+        # stacking does not leak into it
+        "c.example": (
+            "User-agent: googlebot\nSitemap: https://c.example/s.xml\n"
+            "User-agent: *\nDisallow: /x\n"
+        ),
+        "d.example": "User-agent: *\nDisallow: /y\n",  # none
+    }
+    df = spark.createDataFrame([Row(host=h, robots_txt=b) for h, b in bodies.items()])
+    parsed = parse_robots_txt(df)
+    got = {r.host: list(r.sitemap_urls) for r in parsed.collect()}
+    assert got["a.example"] == [
+        "https://a.example/sm0.xml", "https://a.example/sm1.xml",
+    ]
+    assert got["b.example"] == ["https://b.example/s.xml"]
+    assert got["c.example"] == ["https://c.example/s.xml"]
+    assert got["d.example"] == []
+    dis = {r.host: list(r.disallow_prefixes) for r in parsed.collect()}
+    assert dis["a.example"] == ["/p/"]
+    assert dis["c.example"] == ["/x"]
+    fetch = {(r.host, r.sitemap_url) for r in sitemaps_from_robots(parsed).collect()}
+    assert ("b.example", "https://b.example/s.xml") in fetch
+    assert not any(h == "d.example" for h, _ in fetch)
+
+
 def test_parse_robots_txt_is_expression_only(spark):
     from pyspark.sql import Row
 
