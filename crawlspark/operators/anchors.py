@@ -41,8 +41,22 @@ def aggregate_anchor_text(
 
     ``salt`` > 1 turns the rank into the salted two-phase form (see
     module docstring) — identical output, skew-safe.
+
+    NULL anchors (links without text) are dropped up front — they carry
+    no signal and would otherwise count as one more "distinct anchor".
+    Totals are derived from the (dst, anchor) count relation, never by
+    re-scanning edges: n_inlinks = sum of counts, n_anchors = count of
+    count rows — one pass over the edges total.
     """
-    counts = edges.groupBy(dst_col, anchor_col).agg(F.count("*").alias("__n"))
+    counts = (
+        edges.where(F.col(anchor_col).isNotNull())
+        .groupBy(dst_col, anchor_col)
+        .agg(F.count("*").alias("__n"))
+    )
+    totals = counts.groupBy(dst_col).agg(
+        F.sum("__n").alias("n_inlinks"),
+        F.count("*").alias("n_anchors"),
+    )
     order = [F.col("__n").desc(), F.col(anchor_col).asc()]
     if salt > 1:
         w1 = Window.partitionBy(
@@ -70,10 +84,6 @@ def aggregate_anchor_text(
             ).alias("top_anchors")
         )
     )
-    totals = edges.groupBy(dst_col).agg(
-        F.count("*").alias("n_inlinks"),
-        F.count_distinct(anchor_col).alias("n_anchors"),
-    )
     return totals.join(top, dst_col).select(
         dst_col, "n_inlinks", "n_anchors", "top_anchors"
     )
@@ -92,16 +102,17 @@ def aggregate_anchor_text_sql(
     return f"""
       WITH e AS ({edges_sql}),
       c AS (SELECT {dst_col}, {anchor_col}, count(*) AS n
-            FROM e GROUP BY {dst_col}, {anchor_col}),
+            FROM e WHERE {anchor_col} IS NOT NULL
+            GROUP BY {dst_col}, {anchor_col}),
       r AS (SELECT *, row_number() OVER (
               PARTITION BY {dst_col} ORDER BY n DESC, {anchor_col} ASC) AS rn
             FROM c),
       t AS (SELECT {dst_col},
               string_agg({anchor_col}, '{sep}' ORDER BY rn) AS top_anchors
             FROM r WHERE rn <= {k_top} GROUP BY {dst_col}),
-      s AS (SELECT {dst_col}, CAST(count(*) AS BIGINT) AS n_inlinks,
-              CAST(count(DISTINCT {anchor_col}) AS BIGINT) AS n_anchors
-            FROM e GROUP BY {dst_col})
+      s AS (SELECT {dst_col}, CAST(sum(n) AS BIGINT) AS n_inlinks,
+              CAST(count(*) AS BIGINT) AS n_anchors
+            FROM c GROUP BY {dst_col})
       SELECT s.{dst_col}, s.n_inlinks, s.n_anchors, t.top_anchors
       FROM s JOIN t ON s.{dst_col} = t.{dst_col}
     """

@@ -35,6 +35,20 @@ def test_anchor_tie_break_is_lexicographic(spark):
     assert out[1]["top_anchors"] == "alpha|mid"
 
 
+def test_null_anchors_are_dropped(spark):
+    from pyspark.sql.types import StringType, StructField, StructType, LongType
+
+    schema = StructType([
+        StructField("dst", LongType()), StructField("anchor", StringType()),
+    ])
+    edges = spark.createDataFrame(
+        [(1, "home"), (1, None), (1, None), (2, None)], schema
+    )
+    out = _rows(aggregate_anchor_text(edges, k_top=2))
+    assert out[1] == {"dst": 1, "n_inlinks": 1, "n_anchors": 1, "top_anchors": "home"}
+    assert 2 not in out  # only NULL-anchor in-links → no signal row
+
+
 def test_salted_rank_matches_plain_window(spark):
     # a skewed dst with many distinct anchors at varied counts, plus
     # normal dsts — the salted two-phase form must be output-identical
