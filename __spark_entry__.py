@@ -2425,6 +2425,56 @@ _register("robots_sitemaps", _q_robots_sitemaps, None)
 _TAIL_ORACLES["robots_sitemaps"] = _robots_sm_tail_oracle()
 
 
+# -- redirect-chain resolution -------------------------------------------------
+# Pointer-doubling fixpoint (O(log max_hops) self-joins) vs the DuckDB
+# recursive-CTE walk — chains, a planted self-loop (doc 3) and 2-cycle
+# (13<->23), and whatever loops the functional graph x -> (2x+1) % n
+# produces, identically in both engines. ~40% of documents redirect.
+_REDIR_PLANTS = "CASE WHEN doc_id = 3 THEN 3 WHEN doc_id = 13 THEN 23 WHEN doc_id = 23 THEN 13 ELSE (doc_id * 2 + 1) % {n} END"
+
+
+def _q_redirect_resolve(spark, sf_dir):
+    from crawlspark.operators.redirects import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.groupBy().count().withColumnRenamed("count", "n")
+    a = d.crossJoin(F.broadcast(n)).where(F.col("doc_id") % 10 < 4)
+
+    def url(i):
+        return F.concat(
+            F.lit("https://h"), (i % 41).cast("string"),
+            F.lit(".example/p"), i.cast("string"),
+        )
+
+    dst_id = (
+        F.when(F.col("doc_id") == 3, F.lit(3))
+        .when(F.col("doc_id") == 13, F.lit(23))
+        .when(F.col("doc_id") == 23, F.lit(13))
+        .otherwise((F.col("doc_id") * 2 + 1) % F.col("n"))
+    )
+    edges = a.select(url(F.col("doc_id")).alias("src"), url(dst_id).alias("dst"))
+    return resolve_redirects(edges)
+
+
+def _redirect_tail_oracle() -> str:
+    from crawlspark.operators.redirects import resolve_redirects_sql
+
+    u = "'https://h' || CAST({i} % 41 AS VARCHAR) || '.example/p' || CAST({i} AS VARCHAR)"
+    edges = f"""
+      WITH nn AS (SELECT count(*) AS n FROM documents)
+      SELECT {u.format(i='doc_id')} AS src,
+             {u.format(i='d2')} AS dst
+      FROM (
+        SELECT doc_id, {_REDIR_PLANTS.format(n='nn.n')} AS d2
+        FROM documents, nn WHERE doc_id % 10 < 4
+      )"""
+    return resolve_redirects_sql(edges)
+
+
+_register("redirect_resolve", _q_redirect_resolve, None)
+_TAIL_ORACLES["redirect_resolve"] = _redirect_tail_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
