@@ -2475,6 +2475,61 @@ _register("redirect_resolve", _q_redirect_resolve, None)
 _TAIL_ORACLES["redirect_resolve"] = _redirect_tail_oracle()
 
 
+# -- spider-trap URL guards ----------------------------------------------------
+# Five planted URL families (clean, calendar-repeat, deep-path,
+# query-param fanout, over-long) cycled over doc_id — every guard rule
+# fires on part of its family and admits the rest, so `keep` is
+# non-vacuous per rule in both engines.
+def _q_url_trap_filter(spark, sf_dir):
+    from crawlspark.operators import urltraps as ut
+
+    i = F.col("doc_id")
+    path = (
+        F.when(i % 5 == 0, F.concat(F.lit("/s/a/b/p"), i.cast("string")))
+        .when(i % 5 == 1, F.concat(F.lit("/cal/"), F.repeat(F.lit("2024/"), ((i % 4) + 2).cast("int")), F.lit("x")))
+        .when(i % 5 == 2, F.repeat(F.lit("/d"), ((i % 15) + 1).cast("int")))
+        .when(i % 5 == 3, F.concat(F.lit("/q?"), F.regexp_replace(F.repeat(F.lit("k=1&"), ((i % 12) + 1).cast("int")), "&$", "")))
+        .otherwise(F.concat(F.lit("/l/"), F.repeat(F.lit("x"), (((i % 40) + 1) * 80).cast("int"))))
+    )
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://h"), (i % 41).cast("string"), F.lit(".example"), path).alias("url"),
+    )
+    feat = ut.url_trap_features(urls)
+    return feat.select(
+        "doc_id", "path_depth", "query_params", "max_seg_repeat", "url_len",
+        (~ut.is_probable_trap()).alias("keep"),
+    )
+
+
+def _url_trap_tail_oracle() -> str:
+    from crawlspark.operators import urltraps as ut
+
+    urls = """
+      SELECT doc_id,
+        'https://h' || CAST(doc_id % 41 AS VARCHAR) || '.example' ||
+        CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN '/s/a/b/p' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN '/cal/' || repeat('2024/', CAST(doc_id % 4 + 2 AS INT)) || 'x'
+          WHEN 2 THEN repeat('/d', CAST(doc_id % 15 + 1 AS INT))
+          WHEN 3 THEN '/q?' || regexp_replace(repeat('k=1&', CAST(doc_id % 12 + 1 AS INT)), '&$', '')
+          ELSE '/l/' || repeat('x', CAST((doc_id % 40 + 1) * 80 AS INT))
+        END AS url
+      FROM documents"""
+    feat = ut.url_trap_features_sql(urls)
+    return f"""
+      SELECT doc_id, path_depth, query_params, max_seg_repeat, url_len,
+             NOT (path_depth > {ut.TRAP_MAX_PATH_DEPTH}
+                  OR query_params > {ut.TRAP_MAX_QUERY_PARAMS}
+                  OR max_seg_repeat > {ut.TRAP_MAX_SEGMENT_REPEAT}
+                  OR url_len > {ut.TRAP_MAX_URL_LEN}) AS keep
+      FROM ({feat})"""
+
+
+_register("url_trap_filter", _q_url_trap_filter, None)
+_TAIL_ORACLES["url_trap_filter"] = _url_trap_tail_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

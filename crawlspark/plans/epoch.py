@@ -76,6 +76,7 @@ from crawlspark.operators.ordering import (
     cursor_filter,
     ordered_limit,
 )
+from crawlspark.operators.urltraps import filter_crawl_traps
 from crawlspark.operators.politeness import (
     ORDER_COLS,
     apply_robots,
@@ -164,6 +165,14 @@ class CrawlConfig:
     # passes per raw link are measurable in the link stage; real-web
     # deployments should turn it on.
     normalize_urls: bool = False
+    # Reject spider-trap-shaped links at admission (path depth, query
+    # param fanout, repeated path segments, URL length — the Heritrix
+    # guard family; operators/urltraps.py). Pure column expressions on
+    # the link stage, no shuffle. Off by default for reference-parity
+    # crawls (the catalog's URL space is finite by construction); any
+    # open-web deployment should turn it on — an unbounded calendar
+    # trap otherwise owns the frontier within a few epochs.
+    trap_guard: bool = False
     # Respect robots.txt Crawl-delay by deriving per-host token budgets
     # (floor(delay_epoch_seconds / delay), min 1) from the robots table's
     # crawl_delay_s column and taking the STRICTER of that and any
@@ -503,9 +512,14 @@ def web_crawl(
             # canonicalize BEFORE validity/dedup/seen — alias forms of
             # one URL must collapse to a single frontier row
             links = links.withColumn("url", normalize_url(F.col("url")))
+        links = links.where(is_valid_http_url(F.col("url")))
+        if cfg.trap_guard:
+            # trap-shaped links never reach dedup/seen/frontier: the
+            # guard runs pre-shuffle on the raw link stream, so an
+            # unbounded URL family costs only its extraction bytes
+            links = filter_crawl_traps(links)
         links = (
-            links.where(is_valid_http_url(F.col("url")))
-            .withColumn("discovery_ts", F.lit(_discovery_ts(epoch + 1)))
+            links.withColumn("discovery_ts", F.lit(_discovery_ts(epoch + 1)))
             .withColumn("attempts", F.lit(0))
         )
         # cost-based seen-check: once the seen set outgrows a broadcast
