@@ -2530,6 +2530,46 @@ _register("url_trap_filter", _q_url_trap_filter, None)
 _TAIL_ORACLES["url_trap_filter"] = _url_trap_tail_oracle()
 
 
+# -- domain blocklist suffix filter --------------------------------------------
+# Hosts h0/h1.example are blocked; doc_id % 3 == 0 urls get a 'www.'
+# subdomain so suffix matching (not just equality) is exercised — a
+# www.h1.example url must fall to the PARENT domain's block row.
+def _q_blocklist_filter(spark, sf_dir):
+    from crawlspark.operators.blocklist import filter_blocked_hosts
+
+    i = F.col("doc_id")
+    sub = F.when(i % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), sub, F.lit("h"), (i % 7).cast("string"),
+            F.lit(".example/p"), i.cast("string"),
+        ).alias("url"),
+    )
+    bl = _t(spark, sf_dir, "documents").where(i % 7 < 2).select(
+        F.concat(F.lit("h"), (i % 7).cast("string"), F.lit(".example")).alias("domain")
+    )
+    return filter_blocked_hosts(urls, bl)
+
+
+def _blocklist_tail_oracle() -> str:
+    from crawlspark.operators.blocklist import filter_blocked_hosts_sql
+
+    urls = """
+      SELECT doc_id,
+             'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents"""
+    bl = """
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS domain
+      FROM documents WHERE doc_id % 7 < 2"""
+    return filter_blocked_hosts_sql(urls, bl)
+
+
+_register("blocklist_filter", _q_blocklist_filter, None)
+_TAIL_ORACLES["blocklist_filter"] = _blocklist_tail_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

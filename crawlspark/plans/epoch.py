@@ -76,6 +76,7 @@ from crawlspark.operators.ordering import (
     cursor_filter,
     ordered_limit,
 )
+from crawlspark.operators.blocklist import filter_blocked_hosts
 from crawlspark.operators.urltraps import filter_crawl_traps
 from crawlspark.operators.politeness import (
     ORDER_COLS,
@@ -253,6 +254,7 @@ def web_crawl(
     *,
     robots: DataFrame | None = None,
     host_budgets: DataFrame | None = None,
+    blocklist: DataFrame | None = None,
     config: CrawlConfig | None = None,
     logger=None,
 ) -> list[dict]:
@@ -353,7 +355,12 @@ def web_crawl(
         if epoch == 0:
             if seed_count is None:
                 seed_count = seeds.count()  # one tiny metadata-only job
-            pending = _normalize_seeds(seeds, cfg.normalize_urls).repartition(n_shuffle, "url")
+            pending = _normalize_seeds(seeds, cfg.normalize_urls)
+            if blocklist is not None:
+                # a blocked host is never fetched, even from the seed
+                # list; same suffix-match chain as link admission
+                pending = filter_blocked_hosts(pending, blocklist)
+            pending = pending.repartition(n_shuffle, "url")
             est_dequeued = seed_count
         else:
             fdir = state.frontier._epoch_dir(epoch - 1)
@@ -513,6 +520,10 @@ def web_crawl(
             # one URL must collapse to a single frontier row
             links = links.withColumn("url", normalize_url(F.col("url")))
         links = links.where(is_valid_http_url(F.col("url")))
+        if blocklist is not None:
+            # per-label-depth broadcast hash anti-joins — narrow, the
+            # blocklist broadcast is built once per run and reused
+            links = filter_blocked_hosts(links, blocklist)
         if cfg.trap_guard:
             # trap-shaped links never reach dedup/seen/frontier: the
             # guard runs pre-shuffle on the raw link stream, so an
