@@ -2570,6 +2570,47 @@ _register("blocklist_filter", _q_blocklist_filter, None)
 _TAIL_ORACLES["blocklist_filter"] = _blocklist_tail_oracle()
 
 
+# -- prioritized frontier dequeue ----------------------------------------------
+# frontier_dequeue's events-as-frontier, with an external score table
+# (event_id % 17 boosted to -1) merged by operators/prioritize.py
+# before the per-host top-K — the Cho/Garcia-Molina URL-ordering hook.
+def _q_prioritized_dequeue(spark, sf_dir):
+    from crawlspark.operators.prioritize import apply_priority_scores
+
+    ev = _t(spark, sf_dir, "events")
+    pr = (
+        F.when(F.col("event_type") == "purchase", 0)
+        .when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "view", 3)
+        .otherwise(4)
+    )
+    fr = ev.select("user_id", "event_id", "ts", pr.alias("priority"))
+    scores = ev.where(F.col("event_id") % 17 == 0).select(
+        "event_id", F.lit(-1).alias("priority")
+    )
+    merged = apply_priority_scores(fr, scores, url_col="event_id")
+    w = Window.partitionBy("user_id").orderBy("priority", "ts", "event_id")
+    deq = merged.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    return deq.select("user_id", "event_id", "priority")
+
+
+_register(
+    "prioritized_dequeue",
+    _q_prioritized_dequeue,
+    None,
+)
+_TAIL_ORACLES["prioritized_dequeue"] = f"""
+  WITH fr AS (SELECT user_id, event_id, ts, {PRIORITY_SQL} AS priority FROM events),
+  sc AS (SELECT event_id, min(-1) AS spri FROM events WHERE event_id % 17 = 0 GROUP BY event_id),
+  m AS (SELECT f.user_id, f.event_id, f.ts,
+               CAST(coalesce(sc.spri, f.priority) AS INT) AS priority
+        FROM fr f LEFT JOIN sc ON f.event_id = sc.event_id),
+  deq AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY priority, ts, event_id) AS rn
+          FROM m)
+  SELECT user_id, event_id, priority FROM deq WHERE rn <= 3"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -77,6 +77,7 @@ from crawlspark.operators.ordering import (
     ordered_limit,
 )
 from crawlspark.operators.blocklist import filter_blocked_hosts
+from crawlspark.operators.prioritize import apply_priority_scores
 from crawlspark.operators.urltraps import filter_crawl_traps
 from crawlspark.operators.politeness import (
     ORDER_COLS,
@@ -255,6 +256,7 @@ def web_crawl(
     robots: DataFrame | None = None,
     host_budgets: DataFrame | None = None,
     blocklist: DataFrame | None = None,
+    priorities: DataFrame | None = None,
     config: CrawlConfig | None = None,
     logger=None,
 ) -> list[dict]:
@@ -377,6 +379,12 @@ def web_crawl(
             est_dequeued = pending_rows
         if cfg.global_budget_per_epoch is not None:
             est_dequeued = min(est_dequeued, cfg.global_budget_per_epoch)
+
+        if priorities is not None:
+            # external visit-order signal (in-link counts / PageRank /
+            # sitemap priority — operators/prioritize.py): one url-keyed
+            # left join; unscored rows keep their inherited priority
+            pending = apply_priority_scores(pending, priorities)
 
         # host re-derived AFTER the frontier read / width repartition —
         # the stored frontier row and every pre-dequeue shuffle stay
