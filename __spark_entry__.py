@@ -2612,6 +2612,31 @@ _TAIL_ORACLES["prioritized_dequeue"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Round-5 window rotation (continuing the r4-verdict plan: every exact
+# oracle gets a green DRIVER CORRECTNESS row in some round). The nine
+# demoted names below each carry a green row from CORRECTNESS_r04; the
+# nine promoted ones have never been driver-checked. Demoted queries
+# stay exact-checked via tail_oracle_sql() + the pytest parity gate,
+# which runs the identical compare over windowed AND tail oracles.
+# ---------------------------------------------------------------------------
+_R5_DEMOTE = [
+    "max_cursor", "json_rewrite", "ngram_jaccard", "embedding_near_dups_exact",
+    "top_token_frac", "paragraph_dedup", "sequence_pack", "hash_split_assign",
+    "url_normalize",
+]
+_R5_PROMOTE = [
+    "anchor_text_agg", "c4_line_filter", "gopher_quality", "robots_sitemaps",
+    "mirror_path", "redirect_resolve", "url_trap_filter", "blocklist_filter",
+    "prioritized_dequeue",
+]
+for _n in _R5_DEMOTE:
+    _TAIL_ORACLES[_n] = _ORACLES.pop(_n)
+for _n in _R5_PROMOTE:
+    _ORACLES[_n] = _TAIL_ORACLES.pop(_n)
+assert len(_ORACLES) == 50, f"driver window must stay exactly 50, got {len(_ORACLES)}"
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
