@@ -42,6 +42,7 @@ HEADLINERS = [
     "token_count", "quality_score", "lang_id", "fingerprint",
     "embedding_topk", "bloom_seen_filter",
     "gopher_quality", "c4_line_filter", "anchor_text_agg",
+    "redirect_resolve", "url_trap_filter", "blocklist_filter",
 ]
 
 CRAWL_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "1200000"))
