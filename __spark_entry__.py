@@ -1851,6 +1851,67 @@ def _q_embedding_near_dups_lsh(spark, sf_dir):
 _register("embedding_near_dups_lsh", _q_embedding_near_dups_lsh, None)
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) semantic dedup over the embeddings
+    table: deterministic k-means clusters + within-cluster
+    upper-triangular-max drop at cos >= 0.42 (the corpus's near-dup
+    operating point — see embedding_near_dups_lsh). Rows-only: the
+    k-means fit is an iterative Spark job with a driver-side codebook,
+    not SQL-expressible; semantics are pinned exactly against a numpy
+    replay in tests/test_similarity.py::test_semdedup_matches_bruteforce_reference."""
+    from crawlspark.operators.similarity import semdedup
+
+    return semdedup(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.42, n_centroids=16, n_iters=2,
+    )
+
+
+_register("semdedup", _q_semdedup, None)
+
+
+def _q_image_phash_dedup(spark, sf_dir):
+    """Perceptual image dedup: dHash over real decoded pixels (the four
+    pure-numpy codecs) + the generic exact-recall hamming pairer
+    (dedup.hash64_pairs — the same pigeonhole banding text simhash
+    uses). Input: 48 deterministic media rows (the closed-form
+    generator: PPM/BMP/fake images + WAV/Y4M rows the hasher must skip)
+    plus PNG re-encodes of each decodable image — half pixel-identical
+    (cross-FORMAT duplicates byte hashing cannot see, hamming 0
+    guaranteed), half brightness-shifted (the perceptual near-dup
+    class). Rows-only: the hash IS a pixel decode (no SQL twin);
+    semantics pinned by tests/test_multimodal.py's dHash invariance +
+    pair goldens."""
+    import numpy as np
+
+    from crawlspark.operators.multimodal import (
+        _image_pixels, build_media_table, encode_png, image_phash_pairs,
+        real_media_payload,
+    )
+
+    base = build_media_table(spark, 48, real=True)
+    copies = []
+    for i in range(0, 48, 3):  # generator: media_id % 3 == 0 rows are images
+        dec = _image_pixels(real_media_payload(i))
+        if dec is None:
+            continue  # the FAKE-container image rows don't decode
+        _, _, px = dec
+        rgb = px[..., :3]
+        if i % 2 == 0:
+            copies.append((1000 + i, "image", bytearray(encode_png(rgb))))
+        else:
+            shifted = np.clip(rgb.astype(int) + 20, 0, 255).astype(np.uint8)
+            copies.append((1000 + i, "image", bytearray(encode_png(shifted))))
+    extra = spark.createDataFrame(
+        copies, "media_id long, kind string, payload binary"
+    )
+    media = base.select("media_id", "kind", "payload").unionByName(extra)
+    return image_phash_pairs(media, max_hamming=6).orderBy("id_a", "id_b")
+
+
+_register("image_phash_dedup", _q_image_phash_dedup, None)
+
+
 def _q_stream_dedup_mini(spark, sf_dir):
     """Structured Streaming surfaced in the query contract: one
     availableNow run of the checkpointed ingest dedup
@@ -2609,6 +2670,113 @@ _TAIL_ORACLES["prioritized_dequeue"] = f"""
   deq AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY priority, ts, event_id) AS rn
           FROM m)
   SELECT user_id, event_id, priority FROM deq WHERE rn <= 3"""
+
+
+# -- adaptive per-host backoff deration -----------------------------------------
+# Two epochs of per-host fetch outcomes folded through
+# operators/politeness.update_backoff (full-join state transition:
+# fail → consec+1, clean → reset/drop, untouched → keep), then
+# derate_budgets (tokens = max(1, base >> consec), base from an explicit
+# budget table or the default). Hosts/outcomes derived deterministically
+# from events so both engines see the same relation. The DuckDB twin
+# replays both folds as FULL JOIN CTEs; FLOOR before the INT cast
+# because DuckDB CAST(double AS INT) rounds where Spark truncates.
+def _q_backoff_derate(spark, sf_dir):
+    from crawlspark.operators.politeness import derate_budgets, update_backoff
+
+    ev = _t(spark, sf_dir, "events")
+    hosts = ev.select((F.col("user_id") % 50).alias("k")).distinct()
+    h = F.concat(F.lit("h"), F.col("k").cast("string")).alias("host")
+    stats0 = hosts.where("k < 40").select(
+        h,
+        F.when(F.col("k") % 4 == 0, 0).otherwise(F.col("k") % 4)
+        .cast("long").alias("n_bad"),
+    )
+    stats1 = hosts.where("k >= 10").select(
+        h,
+        F.when(F.col("k") % 3 == 0, 1).otherwise(0).cast("long").alias("n_bad"),
+    )
+    budgets = hosts.where("k % 5 = 0").select(
+        h, (F.lit(10) + F.col("k")).cast("int").alias("tokens_per_epoch")
+    )
+    b1 = update_backoff(update_backoff(None, stats0), stats1)
+    return derate_budgets(budgets, b1, default_budget=8).orderBy("host")
+
+
+_register("backoff_derate", _q_backoff_derate, None)
+_TAIL_ORACLES["backoff_derate"] = """
+  WITH hosts AS (SELECT DISTINCT user_id % 50 AS k FROM events),
+  stats0 AS (SELECT 'h' || CAST(k AS VARCHAR) AS host,
+                    CASE WHEN k % 4 = 0 THEN 0 ELSE k % 4 END AS n_bad
+             FROM hosts WHERE k < 40),
+  stats1 AS (SELECT 'h' || CAST(k AS VARCHAR) AS host,
+                    CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS n_bad
+             FROM hosts WHERE k >= 10),
+  budgets AS (SELECT 'h' || CAST(k AS VARCHAR) AS host,
+                     CAST(10 + k AS INT) AS tokens_per_epoch
+              FROM hosts WHERE k % 5 = 0),
+  b0 AS (SELECT host, 1 AS consec_fails FROM stats0 WHERE n_bad > 0),
+  f1 AS (SELECT coalesce(s.host, b.host) AS host, s.n_bad, b.consec_fails
+         FROM stats1 s FULL JOIN b0 b ON s.host = b.host),
+  b1 AS (SELECT host,
+                CASE WHEN n_bad > 0 THEN coalesce(consec_fails, 0) + 1
+                     WHEN n_bad = 0 THEN 0
+                     ELSE consec_fails END AS consec_fails
+         FROM f1),
+  b1c AS (SELECT host, CAST(consec_fails AS INT) AS consec_fails
+          FROM b1 WHERE consec_fails > 0),
+  j AS (SELECT coalesce(a.host, b.host) AS host, a.tokens_per_epoch, b.consec_fails
+        FROM budgets a FULL JOIN b1c b ON a.host = b.host)
+  SELECT host,
+         CAST(GREATEST(1, CAST(FLOOR(coalesce(tokens_per_epoch, 8)
+              / POWER(2.0, LEAST(coalesce(consec_fails, 0), 30))) AS INT)) AS INT)
+           AS tokens_per_epoch
+  FROM j ORDER BY host"""
+
+
+# -- host-level curation rollup --------------------------------------------------
+# RefinedWeb-style domain admission: per-host doc counts, corpus-wide
+# prefix-dup share (key = md5 of the first 40 chars — non-vacuous: 47
+# dup docs across hosts at sf0.01), token mass, dominant language, and
+# the keep decision, all micro-unit exact. operators/hoststats.py.
+def _q_host_curation(spark, sf_dir):
+    from crawlspark.operators.hoststats import host_curation_stats
+
+    return host_curation_stats(
+        _t(spark, sf_dir, "documents"),
+        key_prefix_len=40, min_docs=20, max_dup_share_micro=100_000,
+    )
+
+
+from crawlspark.operators.hoststats import host_curation_stats_sql  # noqa: E402
+
+_register("host_curation", _q_host_curation, None)
+_TAIL_ORACLES["host_curation"] = host_curation_stats_sql(
+    key_prefix_len=40, min_docs=20, max_dup_share_micro=100_000
+)
+
+
+# -- DSIR importance-weighted data selection --------------------------------------
+# Xie et al. 2023 hashed-bigram importance resampling, integer-exact:
+# fit target (lang='en' docs) and raw (all docs) hashed-bigram
+# distributions, score every doc by the summed Laplace micro-ratio of
+# its buckets, select top-100 per-gram. operators/dsir.py.
+def _q_dsir_select(spark, sf_dir):
+    from crawlspark.operators.dsir import (
+        bucket_scores, dsir_select, dsir_weights, hashed_bigram_fit,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    tfit = hashed_bigram_fit(d.where(F.col("lang") == "en"))
+    rfit = hashed_bigram_fit(d)
+    w = dsir_weights(d, bucket_scores(tfit, rfit))
+    return dsir_select(w, k=100)
+
+
+from crawlspark.operators.dsir import dsir_sql  # noqa: E402
+
+_register("dsir_select", _q_dsir_select, None)
+_TAIL_ORACLES["dsir_select"] = dsir_sql(target_predicate="lang = 'en'", k=100)
 
 
 # ---------------------------------------------------------------------------

@@ -242,19 +242,36 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3,
                   max_bucket_size: int | None = None) -> DataFrame:
     """SimHash near-dup pairs: all pairs within ``max_hamming`` of the
-    64-bit fingerprint — EXACT, not recall-approximate: banding into
-    ``max_hamming + 1`` disjoint bit segments guarantees (pigeonhole)
-    that any qualifying pair shares an identical band, and the exact
-    hamming verify removes band-collision false positives. The candidate
-    join is an equi-join on (band_idx, band_key) — never an all-pairs
-    product. ``max_bucket_size`` caps degenerate bands (boilerplate
-    corpora) like the MinHash-LSH guardrail; None keeps exact recall."""
-    from crawlspark.operators.textops import hamming64, simhash64_agg, simhash_band_keys
+    64-bit text fingerprint. Computes the simhash, then delegates to
+    :func:`hash64_pairs` (the generic exact-recall hamming pairer — the
+    image perceptual-hash dedup shares it)."""
+    from crawlspark.operators.textops import simhash64_agg
+
+    sh = df.transform(lambda d: simhash64_agg(d, id_col, text_col)).withColumnRenamed("simhash", "sh")
+    return hash64_pairs(sh, id_col=id_col, hash_col="sh",
+                        max_hamming=max_hamming, max_bucket_size=max_bucket_size)
+
+
+def hash64_pairs(df: DataFrame, id_col: str = "doc_id", hash_col: str = "sh",
+                 max_hamming: int = 3,
+                 max_bucket_size: int | None = None) -> DataFrame:
+    """All (id_a, id_b, hamming) pairs within ``max_hamming`` bits of a
+    precomputed 64-bit hash column — EXACT, not recall-approximate:
+    banding into ``max_hamming + 1`` disjoint bit segments guarantees
+    (pigeonhole) that any qualifying pair shares an identical band, and
+    the exact hamming verify removes band-collision false positives.
+    The candidate join is an equi-join on (band_idx, band_key) — never
+    an all-pairs product. ``max_bucket_size`` caps degenerate bands
+    (boilerplate corpora) like the MinHash-LSH guardrail; None keeps
+    exact recall. Works over ANY int64 locality hash: text simhash
+    (:func:`simhash_pairs`), image dhash (multimodal.image_phash_pairs),
+    audio fingerprints."""
+    from crawlspark.operators.textops import hamming64, simhash_band_keys
 
     n_bands = max_hamming + 1
     if n_bands > 64:
         raise ValueError("max_hamming must be < 64")
-    sh = df.transform(lambda d: simhash64_agg(d, id_col, text_col)).withColumnRenamed("simhash", "sh")
+    sh = df.select(F.col(id_col), F.col(hash_col).alias("sh"))
     keys = simhash_band_keys(F.col("sh"), n_bands)
     bands = sh.select(
         id_col, "sh",

@@ -539,6 +539,106 @@ def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
     return media.mapInPandas(gen, out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("phash", T.LongType()),   # NULL: not a decodable image
+])
+
+
+def _image_pixels(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """(w, h, (h,w,3|4) uint8) for the four real image codecs, None for
+    anything else (audio/video/unknown are not perceptually hashable)."""
+    if b[:2] == b"P6":
+        return decode_ppm(b)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:8] == PNG_SIG:
+        return decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        return decode_jpeg(b)
+    return None
+
+
+def dhash64_pixels(px: np.ndarray) -> int:
+    """64-bit difference hash (dHash, the classic perceptual image
+    fingerprint): integer luma → nearest-neighbor sample to a 9x8 grid →
+    one bit per horizontal gradient (left < right). All-integer, so the
+    hash is bit-reproducible across platforms — and invariant to global
+    brightness shifts (gradients cancel them), which is exactly the
+    near-duplicate class byte hashing misses. Returned as SIGNED int64
+    (two's complement) to live in a Spark LongType column."""
+    rgb = px[..., :3].astype(np.int64)  # drop alpha if present
+    luma = (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
+    h, w = luma.shape
+    ys = np.linspace(0, h - 1, num=8).astype(int)
+    xs = np.linspace(0, w - 1, num=9).astype(int)
+    g = luma[np.ix_(ys, xs)]
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """Per-image dHash over binary payloads: ``(media_id, kind, width,
+    height, phash)`` with ``phash`` NULL for non-image / undecodable
+    rows (per-row poison isolation — the decode_media contract)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, ws, hs, hashes = [], [], [], [], []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                b = bytes(p)
+                w = h = 0
+                ph = None
+                try:
+                    dec = _image_pixels(b)
+                    if dec is not None:
+                        w, h, px = dec
+                        ph = dhash64_pixels(px)
+                except (ValueError, struct.error, zlib.error, IndexError):
+                    pass  # poison payload → NULL hash, row survives
+                ids.append(mid)
+                kinds.append(kind)
+                ws.append(w)
+                hs.append(h)
+                hashes.append(ph)
+            yield pd.DataFrame({
+                "media_id": ids, "kind": kinds,
+                "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
+                "phash": pd.array(hashes, dtype="Int64"),
+            })
+
+    return media.mapInPandas(gen, PHASH_SCHEMA)
+
+
+def image_phash_pairs(
+    media: DataFrame, max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: dHash + the generic exact-recall
+    hamming pairer (dedup.hash64_pairs — same pigeonhole banding as text
+    simhash, shared machinery). Output (id_a, id_b, hamming). Scale
+    shape: the only per-byte work is the Arrow-batched decode; pairing
+    shuffles (band_key, id, int64) — never pixels."""
+    from crawlspark.operators.dedup import hash64_pairs
+
+    hashed = perceptual_hash(media).where(F.col("phash").isNotNull())
+    return hash64_pairs(
+        hashed, id_col="media_id", hash_col="phash",
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+    )
+
+
 def media_stats(decoded: DataFrame) -> DataFrame:
     """Aggregate decoded metadata per kind — the typical QA rollup."""
     return decoded.groupBy("kind").agg(

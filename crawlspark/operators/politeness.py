@@ -247,3 +247,64 @@ def topk_per_host(
         .where(F.col("__rn") <= F.col("__budget"))
         .drop("__rn", "__budget")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive per-host backoff — exponential budget deration on failure
+# ---------------------------------------------------------------------------
+
+def update_backoff(prev: DataFrame | None, host_stats: DataFrame) -> DataFrame:
+    """Fold one epoch's per-host outcomes into the backoff state.
+
+    ``host_stats`` carries (host, n_bad) for every host ATTEMPTED this
+    epoch (n_bad = failed + retrying fetches). Transition:
+
+      * attempted with failures  → consec_fails = prev + 1
+      * attempted, all clean     → reset (row dropped — a healthy host
+        carries no state)
+      * not attempted this epoch → keep prev (a backed-off host with a
+        shrunken budget must not be forgiven for merely being throttled)
+
+    The output holds ONLY hosts with consec_fails > 0, so the relation
+    stays proportional to the set of currently-unhealthy hosts — tiny
+    next to the frontier at any scale."""
+    if prev is None:
+        j = host_stats.withColumn("consec_fails", F.lit(None).cast("int"))
+    else:
+        j = host_stats.join(prev.select("host", "consec_fails"), "host", "full")
+    consec = (
+        F.when(F.col("n_bad") > 0, F.coalesce(F.col("consec_fails"), F.lit(0)) + 1)
+        .when(F.col("n_bad") == 0, F.lit(0))
+        .otherwise(F.col("consec_fails"))  # untouched host: n_bad is NULL
+    )
+    return j.select(
+        "host", consec.cast("int").alias("consec_fails")
+    ).where(F.col("consec_fails") > 0)
+
+
+def derate_budgets(
+    host_budgets: DataFrame | None,
+    backoff: DataFrame,
+    default_budget: int,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Effective per-host budget table for the dequeue:
+    tokens = max(min_tokens, base >> consec_fails) — exponential backoff
+    on the host's explicit budget (or the default). Hosts in neither
+    table keep the caller-side default via topk's coalesce. The shift is
+    capped at 30 so a long-failing host can't overflow into the sign
+    bit; it bottoms out at min_tokens long before that."""
+    if host_budgets is None:
+        host_budgets = backoff.sparkSession.createDataFrame(
+            [], "host string, tokens_per_epoch int"
+        )
+    a = host_budgets.select("host", "tokens_per_epoch")
+    b = backoff.select("host", "consec_fails")
+    j = a.join(b, "host", "full")
+    base = F.coalesce(F.col("tokens_per_epoch"), F.lit(default_budget))
+    consec = F.least(F.coalesce(F.col("consec_fails"), F.lit(0)), F.lit(30))
+    # base / 2^consec: dividing by a power of two only shifts the double
+    # exponent, so the quotient is exact and the int cast is a true floor
+    halved = (base.cast("double") / F.pow(F.lit(2.0), consec)).cast("int")
+    tokens = F.greatest(F.lit(min_tokens), halved)
+    return j.select("host", tokens.cast("int").alias("tokens_per_epoch"))

@@ -311,6 +311,94 @@ def ivf_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def semdedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    sample_size: int = 4096,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine.
+
+    The paper's recipe: cluster the embeddings with a k-means coarse
+    quantizer, then inside each cluster drop every item whose max
+    cosine to any EARLIER-ordered cluster member reaches ``threshold``
+    (the released code's upper-triangular-max formulation). The order
+    is deterministic — centroid similarity DESC, id ASC — so the most
+    central exemplar of each semantic group survives and reruns are
+    bit-identical.
+
+    Output: ``(id, cluster, ctr_rank, kept)`` — one row per input, with
+    ``kept = false`` exactly when some earlier-ranked SAME-CLUSTER item
+    is >= threshold similar.
+
+    Plan shape: one expression-only assignment pass (the codebook is a
+    literal, no shuffle of the vectors), one within-cluster self
+    equi-join on the cluster id for the pairwise cosines, one left-anti
+    membership mark. The quadratic term is per-cluster: at scale,
+    ``n_centroids`` grows with the corpus (the paper uses 50k clusters
+    for LAION) so clusters stay ~constant-sized; ``max_cluster_size``
+    is the explicit guardrail that skips degenerate mega-clusters (kept
+    wholesale, never silently dropped — dedup inside them belongs to
+    exact/MinHash stages).
+
+    NOT TRANSITIVE CLOSURE: c similar only to a DROPPED b is still
+    dropped here (b precedes c), but chains longer than the threshold
+    radius are not merged — semantic groups are defined by similarity
+    to earlier members, not by connected components (that operator is
+    dedup.connected_components).
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_fit_centroids(
+        df, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
+        n_iters=n_iters, sample_size=sample_size,
+    )
+    best = F.array_max(_centroid_scores(vec_col, cents))
+    assigned = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        best["cid"].alias("cluster"), best["sim"].alias("ctr_sim"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("ctr_sim").desc(), F.col("id").asc())
+    ranked = assigned.withColumn("ctr_rank", F.row_number().over(w))
+    if max_cluster_size is not None:
+        sizes = ranked.groupBy("cluster").agg(F.count("*").alias("__n"))
+        eligible = ranked.join(
+            F.broadcast(sizes.where(F.col("__n") <= max_cluster_size)),
+            "cluster", "left_semi",
+        )
+    else:
+        eligible = ranked
+    x, y = eligible.alias("x"), eligible.alias("y")
+    # upper-triangular max: item i is dropped when ANY earlier-ranked
+    # cluster member j has cos(i, j) >= threshold — one within-cluster
+    # equi-join, no iterative kept-set recurrence
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("y.ctr_rank") < F.col("x.ctr_rank")),
+        )
+        .where(F.round(cosine(F.col("x.v"), F.col("y.v")), 6) >= threshold)
+        .select(F.col("x.id").alias("id"))
+        .distinct()
+    )
+    return (
+        ranked.join(dropped.withColumn("__d", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            "ctr_rank",
+            F.col("__d").isNull().alias("kept"),
+        )
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     *,

@@ -83,6 +83,8 @@ from crawlspark.operators.politeness import (
     ORDER_COLS,
     apply_robots,
     budgets_from_crawl_delay,
+    derate_budgets,
+    update_backoff,
     topk_per_host,
     topk_per_host_split,
 )
@@ -191,6 +193,15 @@ class CrawlConfig:
     # impossible and the bloom shards carry the filter. Set 0 to force
     # bloom from the first epoch (tests do).
     bloom_min_seen: int = 2_000_000
+    # Exponential per-host budget backoff on fetch failures: a host
+    # whose attempts keep failing (5xx storm, dead site) gets its
+    # dequeue budget halved per consecutive failing epoch
+    # (max(1, budget >> consec_fails)) and restored the first clean
+    # epoch. State is the tiny per-host `backoff` table (only unhealthy
+    # hosts carry rows), written per epoch and read back on resume.
+    # Costs one extra per-host aggregate over the cached epoch outcomes
+    # plus one small write per epoch — opt-in.
+    adaptive_backoff: bool = False
     # Inline text analysis on fetch (tokens/simhash/quality). COST NOTE:
     # ~1.5x the analyze-off epoch wall at bench scale (the analyze
     # on/off row in BENCH/BASELINE.md), dominated by the Arrow simhash
@@ -311,6 +322,12 @@ def web_crawl(
     if host_budgets is not None:
         host_budgets = host_budgets.localCheckpoint(eager=True)
 
+    backoff_df = None  # (host, consec_fails), carried across epochs
+    if cfg.adaptive_backoff:
+        prev_ep = state.next_epoch() - 1
+        if prev_ep >= 0 and os.path.isdir(state.backoff._epoch_dir(prev_ep)):
+            backoff_df = state.backoff.read(spark, epochs=[prev_ep]).drop("epoch")
+
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     has_avail = "available_from_attempt" in pages.columns
     pages_cols = ["url", "warc_ts", "html", "lang"] + (
@@ -395,9 +412,16 @@ def web_crawl(
         #    The split variant yields the selected set AND the remainder
         #    from one cached phase-1 pass — no remainder anti-join.
         allowed = apply_robots(pending, robots)
+        epoch_budgets = host_budgets
+        if cfg.adaptive_backoff and backoff_df is not None:
+            # exponential deration for currently-unhealthy hosts; tiny
+            # table, broadcast at the dequeue join like any budget table
+            epoch_budgets = derate_budgets(
+                host_budgets, backoff_df, cfg.default_budget
+            )
         if cfg.global_budget_per_epoch is None:
             dequeued, remaining, phase1 = topk_per_host_split(
-                allowed, host_budgets, cfg.default_budget, salt=cfg.salt,
+                allowed, epoch_budgets, cfg.default_budget, salt=cfg.salt,
                 checkpoint=cfg.phase1_checkpoint,
             )
         else:
@@ -405,7 +429,7 @@ def web_crawl(
                 allowed.localCheckpoint(eager=False)
                 if cfg.phase1_checkpoint else allowed.cache()
             )
-            dequeued = topk_per_host(phase1, host_budgets, cfg.default_budget, salt=cfg.salt)
+            dequeued = topk_per_host(phase1, epoch_budgets, cfg.default_budget, salt=cfg.salt)
             dequeued = ordered_limit(dequeued, cfg.global_budget_per_epoch, list(ORDER_COLS))
             remaining = None  # derived below from the final dequeued set
         dequeued = dequeued.localCheckpoint(eager=False) if cfg.local_checkpoint else dequeued.cache()
@@ -629,6 +653,25 @@ def web_crawl(
         #    from the written files' FOOTERS — no extra action, O(#files).
         lineage_rows = _lineage_from_footers(state.fetched._epoch_dir(epoch))
         state.lineage.write_epoch_rows([("download", *r) for r in lineage_rows], epoch)
+
+        if cfg.adaptive_backoff:
+            # fold this epoch's per-host outcomes into the backoff state
+            # (ONE tiny aggregate over the cached outcomes) and persist
+            # it pre-commit like the other epoch tables; re-read from
+            # parquet so the carried relation outlives base.unpersist()
+            host_stats = base.groupBy("host").agg(
+                F.count(F.when(F.col("status") != "ok", 1)).alias("n_bad")
+            )
+            state.backoff.write_epoch(
+                update_backoff(backoff_df, host_stats), epoch
+            )
+            # read the STAGED dir directly (EpochTable.read only serves
+            # committed epochs, and the commit happens below); explicit
+            # schema so an all-healthy (0-row) epoch still reads
+            backoff_df = spark.read.schema(state.backoff.schema).parquet(
+                state.backoff._epoch_dir(epoch)
+            )
+            _t("backoff fold")
 
         # 8. ONE atomic commit for all three tables.
         max_warc = _utc_naive(m["max_warc"]) or EPOCH_MIN

@@ -52,6 +52,14 @@ FRONTIER_SCHEMA = T.StructType([
     T.StructField("attempts", T.IntegerType()),   # failed fetch attempts so far
 ])
 
+# Adaptive-backoff state (CrawlConfig.adaptive_backoff): one row per
+# currently-unhealthy host — hosts that recover are dropped, so the
+# table is proportional to failing hosts, not the frontier.
+BACKOFF_SCHEMA = T.StructType([
+    T.StructField("host", T.StringType()),
+    T.StructField("consec_fails", T.IntegerType()),
+])
+
 LINEAGE_SCHEMA = T.StructType([
     T.StructField("consumer", T.StringType()),
     T.StructField("partition_id", T.IntegerType()),
@@ -69,6 +77,7 @@ class CrawlState:
         self.fetched = EpochTable(root, "fetched", FETCHED_SCHEMA, self.log)
         self.frontier = EpochTable(root, "frontier", FRONTIER_SCHEMA, self.log)
         self.lineage = EpochTable(root, "crawl_state", LINEAGE_SCHEMA, self.log)
+        self.backoff = EpochTable(root, "backoff", BACKOFF_SCHEMA, self.log)
 
     # -- watermark cursors (per consumer, O29/O30) ---------------------
     def cursor(

@@ -314,3 +314,75 @@ def test_png_decompression_bomb_is_bounded():
     with pytest.raises(ValueError):
         decode_png(png)
     assert time.time() - t0 < 0.5  # bounded inflate, not 512MB then check
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_brightness_invariant_and_deterministic():
+    from crawlspark.operators.multimodal import dhash64_pixels
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(20, 200, size=(24, 32, 3), dtype=np.uint8)
+    h0 = dhash64_pixels(px)
+    assert h0 == dhash64_pixels(px)  # deterministic
+    assert -(1 << 63) <= h0 < (1 << 63)  # fits LongType
+    # global brightness shift cancels in the horizontal gradients
+    assert dhash64_pixels(np.clip(px.astype(int) + 30, 0, 255).astype(np.uint8)) == h0
+    # alpha channel is ignored
+    rgba = np.dstack([px, np.full(px.shape[:2], 7, np.uint8)])
+    assert dhash64_pixels(rgba) == h0
+    # a structurally different image hashes differently
+    assert dhash64_pixels(px[::-1].copy()) != h0
+
+
+def test_perceptual_hash_mixed_formats_and_poison(spark):
+    from crawlspark.operators.jpeg import encode_jpeg
+    from crawlspark.operators.multimodal import (
+        dhash64_pixels, decode_jpeg, encode_bmp, encode_wav, perceptual_hash,
+    )
+
+    px = _px(24, 16, seed=9)
+    rows = [
+        (0, "image", encode_ppm(24, 16, px)),
+        (1, "image", encode_bmp(px)),
+        (2, "image", encode_png(px)),
+        (3, "image", encode_jpeg(px, quality=90)),
+        (4, "audio", encode_wav(np.zeros(64, np.int16))),   # not an image
+        (5, "image", b"\xff\xd8truncated-garbage"),         # poison
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r.media_id: r for r in perceptual_hash(media).collect()}
+    assert len(got) == 6
+    exact = dhash64_pixels(px)
+    # lossless codecs reproduce the exact pixel hash
+    assert got[0].phash == exact and got[1].phash == exact and got[2].phash == exact
+    assert (got[0].width, got[0].height) == (24, 16)
+    # JPEG is lossy but perceptually close: small hamming to the original
+    _, _, jpx = decode_jpeg(encode_jpeg(px, quality=90))
+    assert got[3].phash == dhash64_pixels(jpx)
+    assert bin((got[3].phash ^ exact) & ((1 << 64) - 1)).count("1") <= 6
+    # non-image and poison rows survive with NULL hash
+    assert got[4].phash is None and got[5].phash is None
+
+
+def test_image_phash_pairs_finds_brightness_near_dups(spark):
+    from crawlspark.operators.multimodal import image_phash_pairs
+
+    rng = np.random.default_rng(4)
+    base = rng.integers(30, 190, size=(20, 28, 3), dtype=np.uint8)
+    brighter = np.clip(base.astype(int) + 25, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 255, size=(20, 28, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", encode_ppm(28, 20, base)),
+        (2, "image", encode_png(brighter)),     # same scene, re-exposed + re-encoded
+        (3, "image", encode_ppm(28, 20, other)),
+        (4, "audio", b"RIFFgarbage"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_phash_pairs(media, max_hamming=4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in pairs)

@@ -328,3 +328,54 @@ def test_ivf_recall_cost_tradeoff_on_sf01_corpus(spark):
           f"recall probe4 {r4}/{n_q} probe8 {r8}/{n_q}, "
           f"candidates {cand}, cost ratio {ratio:.3f} vs brute force")
     assert ratio < 0.45, f"probe-4 candidate set too large: {ratio:.3f}"
+
+
+def test_semdedup_matches_bruteforce_reference(spark, emb):
+    """SemDeDup semantics pinned against an independent numpy replay:
+    same deterministic codebook, same in-cluster order, same
+    upper-triangular-max drop rule."""
+    from crawlspark.operators.similarity import ivf_fit_centroids, semdedup
+
+    df, vecs = emb
+    got = {
+        r.vec_id: (r.cluster, r.ctr_rank, r.kept)
+        for r in semdedup(df, threshold=0.9, n_centroids=8, n_iters=2).collect()
+    }
+    assert len(got) == len(vecs)
+
+    # numpy replay using the SAME (deterministic) centroids
+    cents = ivf_fit_centroids(df, n_centroids=8, n_iters=2)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    V = vecs.astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = np.round(Vn @ Cn.T, 9)
+    # array_max over struct(sim, cid): ties on sim pick the LARGEST cid
+    assign, ctr_sim = [], []
+    for i in range(len(V)):
+        best = max(range(len(cents)), key=lambda c: (sims[i, c], c))
+        assign.append(cents[best][0])
+        ctr_sim.append(sims[i, best])
+    for cl in set(assign):
+        members = sorted(
+            [i for i in range(len(V)) if assign[i] == cl],
+            key=lambda i: (-ctr_sim[i], i),
+        )
+        for pos, i in enumerate(members):
+            exp_kept = all(
+                round(float(Vn[i] @ Vn[j]), 6) < 0.9 for j in members[:pos]
+            )
+            assert got[i] == (cl, pos + 1, exp_kept), (i, got[i], cl, pos, exp_kept)
+    # the planted 4x-duplicated corpus must actually dedup
+    n_kept = sum(1 for _, _, k in got.values() if k)
+    assert n_kept < len(vecs)
+
+
+def test_semdedup_max_cluster_size_keeps_megacluster_wholesale(spark, emb):
+    from crawlspark.operators.similarity import semdedup
+
+    df, vecs = emb
+    # cap below every cluster size -> nothing eligible -> all kept
+    out = semdedup(df, threshold=0.9, n_centroids=8, n_iters=2, max_cluster_size=1)
+    assert out.where(~F.col("kept")).count() == 0
+    assert out.count() == len(vecs)
