@@ -2377,6 +2377,131 @@ _register("gopher_quality", _q_gopher_quality, None)
 _TAIL_ORACLES["gopher_quality"] = _gopher_tail_oracle()
 
 
+# -- jusText boilerplate removal ----------------------------------------------
+# Block-level main-content extraction (operators/boilerplate.py). The
+# documents table is plain text, so the registered query synthesizes
+# HTML deterministically IN BOTH ENGINES: block tags every 12 words
+# (the lineify pattern with '</p><p>' instead of newline) and anchors
+# wrapped around three vocabulary words — then classifies with
+# corpus-aware thresholds (12-word blocks quantize stopword density in
+# 1/12 steps, so the paper's 0.30/0.32 band is unreachable; the paper
+# defaults are pinned by tests/test_boilerplate.py's planted pages).
+# Label mix at sf0.01: cf bad/short/near_good/good = 1419/190/646/222,
+# 153 context promotions — every rule and both passes exercised.
+_BP = dict(length_low=40, length_high=60,
+           stopwords_low_micro=160_000, stopwords_high_micro=250_000)
+
+
+def _q_boilerplate_blocks(spark, sf_dir):
+    from crawlspark.operators.boilerplate import classify_blocks
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    blocked = F.regexp_replace(
+        F.col("text"), r"((?:\S+ ){11})(\S+) ", "$1$2</p><p>"
+    )
+    anchored = F.regexp_replace(
+        blocked, r"\b(customer|query|stream)\b", "<a href=x>$1</a>"
+    )
+    html = F.concat(F.lit("<p>"), anchored, F.lit("</p>"))
+    return classify_blocks(
+        d.select("doc_id", html.alias("html")), **_BP
+    ).select(
+        "doc_id", "block_idx", "block_text",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "link_density_micro", "stop_density_micro", "label_cf", "label",
+    )
+
+
+def _boilerplate_tail_oracle() -> str:
+    from crawlspark.operators.boilerplate import classify_blocks_sql
+
+    inner = r"""(SELECT doc_id,
+      '<p>' || regexp_replace(
+          regexp_replace(text, '((?:\S+ ){11})(\S+) ', '\1\2</p><p>', 'g'),
+          '\b(customer|query|stream)\b', '<a href=x>\1</a>', 'g') || '</p>' AS html
+      FROM documents) h"""
+    return classify_blocks_sql(inner, **_BP)
+
+
+_register("boilerplate_blocks", _q_boilerplate_blocks, None)
+_TAIL_ORACLES["boilerplate_blocks"] = _boilerplate_tail_oracle()
+
+
+# -- change-rate recrawl scheduling --------------------------------------------
+# Cho & Garcia-Molina revisit policy (operators/recrawl.py) over a visit
+# log synthesized deterministically from events: url = user bucket, fp
+# changes when the visit crosses a url-specific day-bucket (1/3/5/7/9
+# days), every 7th url is static. Exercises: per-url change counting
+# via lag, ratio micro-units, interval clamp both ways, future-dated
+# last visits (negative staleness), never-changed max-interval hold.
+def _q_recrawl_schedule(spark, sf_dir):
+    from crawlspark.operators.recrawl import (
+        change_history_stats, schedule_recrawl_by_change_rate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("user_id") % 120
+    url = F.concat(F.lit("u"), k.cast("string"))
+    bucket_days = (F.lit(1) + (k % 5) * 2).cast("long")
+    bucket = F.floor(
+        F.unix_timestamp("ts") / (bucket_days * 86400)
+    ).cast("long")
+    fp = F.when(k % 7 == 0, F.lit("static")).otherwise(
+        F.md5(F.concat(url, F.lit("#"), bucket.cast("string")))
+    )
+    visits = ev.select(
+        url.alias("url"), F.col("ts").alias("fetch_ts"), fp.alias("content_fp")
+    ).distinct()
+    stats = change_history_stats(visits)
+    sched = schedule_recrawl_by_change_rate(
+        stats, now="2024-02-05 00:00:00",
+        min_interval_s=21_600, max_interval_s=1_209_600,
+    )
+    return sched.join(
+        stats.select(
+            "url", "first_ts", "last_ts", "last_fp", "span_s",
+            "change_ratio_micro",
+        ),
+        "url",
+    )
+
+
+def _recrawl_tail_oracle() -> str:
+    from crawlspark.operators.recrawl import change_history_sql
+
+    visits = """(SELECT DISTINCT
+        'u' || CAST(user_id % 120 AS VARCHAR) AS url,
+        ts AS fetch_ts,
+        CASE WHEN (user_id % 120) % 7 = 0 THEN 'static'
+             ELSE md5('u' || CAST(user_id % 120 AS VARCHAR) || '#' ||
+                      CAST(CAST(floor((epoch_us(ts) // 1000000)
+                           / ((1 + ((user_id % 120) % 5) * 2) * 86400))
+                        AS BIGINT) AS VARCHAR))
+        END AS content_fp
+      FROM events) base"""
+    return f"""
+      WITH stats AS ({change_history_sql(visits)}),
+      sched AS (
+        SELECT *,
+          CAST(CASE WHEN n_changes = 0 THEN 1209600
+               ELSE greatest(21600, least(1209600, span_s // (2 * n_changes)))
+               END AS BIGINT) AS interval_s,
+          CAST((epoch_us(TIMESTAMP '2024-02-05 00:00:00') // 1000000)
+               - (epoch_us(last_ts) // 1000000) AS BIGINT) AS elapsed_s
+        FROM stats)
+      SELECT url, n_visits, n_changes, interval_s, elapsed_s,
+             CAST(floor(elapsed_s * 1000000.0 / interval_s) AS BIGINT)
+               AS staleness_micro,
+             elapsed_s >= interval_s AS due,
+             first_ts, last_ts, last_fp, span_s, change_ratio_micro
+      FROM sched"""
+
+
+_register("recrawl_schedule", _q_recrawl_schedule, None)
+_TAIL_ORACLES["recrawl_schedule"] = _recrawl_tail_oracle()
+
+
 # -- inbound anchor-text aggregation ------------------------------------------
 # The classic web-graph text signal, over the same deterministic link
 # graph as `pagerank` with anchors cut from the source doc's text
