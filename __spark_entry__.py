@@ -2926,6 +2926,26 @@ for _n in _R5_DEMOTE:
     _TAIL_ORACLES[_n] = _ORACLES.pop(_n)
 for _n in _R5_PROMOTE:
     _ORACLES[_n] = _TAIL_ORACLES.pop(_n)
+
+# r5c (same session, later work): five more exact oracles landed after
+# the r5b rotation and have never been driver-checked — promote them;
+# the five demoted names are all green in CORRECTNESS_r04 and their
+# machinery stays exercised by windowed siblings (commit_budget_cutoff
+# covers the distinct+sort commit set; host_parse keeps the url
+# function family; gopher_quality/lang_id keep textops; simhash_pairs
+# subsumes the per-doc simhash agg it builds on).
+_R5C_DEMOTE = [
+    "distinct_commits", "hash_prefix_bin", "quality_score",
+    "repetition_profile", "dedup_simhash",
+]
+_R5C_PROMOTE = [
+    "backoff_derate", "host_curation", "dsir_select",
+    "boilerplate_blocks", "recrawl_schedule",
+]
+for _n in _R5C_DEMOTE:
+    _TAIL_ORACLES[_n] = _ORACLES.pop(_n)
+for _n in _R5C_PROMOTE:
+    _ORACLES[_n] = _TAIL_ORACLES.pop(_n)
 assert len(_ORACLES) == 50, f"driver window must stay exactly 50, got {len(_ORACLES)}"
 
 
