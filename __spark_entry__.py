@@ -2454,16 +2454,13 @@ def _q_recrawl_schedule(spark, sf_dir):
         url.alias("url"), F.col("ts").alias("fetch_ts"), fp.alias("content_fp")
     ).distinct()
     stats = change_history_stats(visits)
-    sched = schedule_recrawl_by_change_rate(
+    # carry= instead of re-joining onto stats: the url self-join
+    # recomputed the whole visit-log aggregation on both branches
+    return schedule_recrawl_by_change_rate(
         stats, now="2024-02-05 00:00:00",
         min_interval_s=21_600, max_interval_s=1_209_600,
-    )
-    return sched.join(
-        stats.select(
-            "url", "first_ts", "last_ts", "last_fp", "span_s",
-            "change_ratio_micro",
-        ),
-        "url",
+        carry=("first_ts", "last_ts", "last_fp", "span_s",
+               "change_ratio_micro"),
     )
 
 
@@ -2888,13 +2885,15 @@ _TAIL_ORACLES["host_curation"] = host_curation_stats_sql(
 # its buckets, select top-100 per-gram. operators/dsir.py.
 def _q_dsir_select(spark, sf_dir):
     from crawlspark.operators.dsir import (
-        bucket_scores, dsir_select, dsir_weights, hashed_bigram_fit,
+        bucket_scores_pair, dsir_select, dsir_weights, hashed_bigram_fit_pair,
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    tfit = hashed_bigram_fit(d.where(F.col("lang") == "en"))
-    rfit = hashed_bigram_fit(d)
-    w = dsir_weights(d, bucket_scores(tfit, rfit))
+    # single-pass pair fit: target is a predicate subset of the pool, so
+    # both distributions come from one explode+agg (plan audit: two
+    # hashed_bigram_fit calls each re-ran the full gram pass)
+    pair = hashed_bigram_fit_pair(d, F.col("lang") == "en")
+    w = dsir_weights(d, bucket_scores_pair(pair))
     return dsir_select(w, k=100)
 
 

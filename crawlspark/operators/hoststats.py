@@ -30,12 +30,14 @@ Scale shape (100 TB): two real shuffles, both narrow.
      combine; the exchange carries one row per (host, lang) per map
      partition, O(#hosts x #langs), not O(#docs).
 
-The final per-host rollup and the dominant-language pick both run on
-the (host, lang) relation — tiny at any corpus size — and the window
-there partitions by host with at most #langs rows each, so no skew.
-A hot host (1e8 docs) is irrelevant to both exchanges: dup-marking
-distributes by content hash, and the rollup collapses the host to
-#langs rows map-side before it ever crosses the network.
+The final per-host rollup and the dominant-language pick are ONE
+aggregate over the (host, lang) relation — tiny at any corpus size —
+with the language pick folded in as min(struct(-n, lang)) (max count,
+ties to the smallest language) so Catalyst never re-scans the corpus
+for a second window branch. A hot host (1e8 docs) is irrelevant to
+both exchanges: dup-marking distributes by content hash, and the
+rollup collapses the host to #langs rows map-side before it ever
+crosses the network.
 """
 
 from __future__ import annotations
@@ -92,18 +94,25 @@ def host_curation_stats(
         F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
         F.sum("tokens").alias("tok"),
     )
+    # dominant language via min(struct(-n, lang)): max count, ties to the
+    # lexicographically smallest language — ONE aggregate, so the rollup
+    # and the language pick come from a single pass over hl (a row_number
+    # window here forced Catalyst to scan + re-aggregate the corpus twice,
+    # once per consumer branch; at 100 TB that is a whole extra pass)
     roll = hl.groupBy("host").agg(
         F.sum("n").alias("n_docs"),
         F.sum("n_dup").alias("n_dup_docs"),
         F.sum("tok").alias("total_tokens"),
+        F.min(
+            F.struct(
+                (-F.col("n")).cast("long").alias("nn"),
+                F.col("lang").alias("lg"),
+            )
+        ).alias("__tp"),
     )
-    w = Window.partitionBy("host").orderBy(F.col("n").desc(), F.col("lang").asc())
-    top = (
-        hl.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("host", F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+    out = roll.withColumn("top_lang", F.col("__tp.lg")).withColumn(
+        "top_n", -F.col("__tp.nn")
     )
-    out = roll.join(top, "host")
     return out.select(
         "host",
         F.col("n_docs").cast("long").alias("n_docs"),
@@ -149,22 +158,18 @@ def host_curation_stats_sql(
         FROM marked GROUP BY host, lang),
       roll AS (
         SELECT host, sum(n) AS n_docs, sum(n_dup) AS n_dup_docs,
-               sum(tok) AS total_tokens
-        FROM hl GROUP BY host),
-      top AS (
-        SELECT host, lang AS top_lang, n AS top_n
-        FROM (SELECT *, row_number() OVER (PARTITION BY host ORDER BY n DESC, lang ASC) AS rn
-              FROM hl)
-        WHERE rn = 1)
-      SELECT r.host,
-             CAST(r.n_docs AS BIGINT) AS n_docs,
-             CAST(r.n_dup_docs AS BIGINT) AS n_dup_docs,
-             CAST(floor(r.n_dup_docs * {MICRO}.0 / r.n_docs) AS BIGINT) AS dup_share_micro,
-             CAST(r.total_tokens AS BIGINT) AS total_tokens,
-             CAST(floor(r.total_tokens * {MICRO}.0 / r.n_docs) AS BIGINT) AS mean_tokens_micro,
-             t.top_lang,
-             CAST(floor(t.top_n * {MICRO}.0 / r.n_docs) AS BIGINT) AS top_lang_share_micro,
-             r.n_docs >= {min_docs}
-               AND floor(r.n_dup_docs * {MICRO}.0 / r.n_docs) <= {max_dup_share_micro} AS keep
-      FROM roll r JOIN top t ON r.host = t.host
+               sum(tok) AS total_tokens,
+               min(struct_pack(nn := -n, lg := lang)) AS tp
+        FROM hl GROUP BY host)
+      SELECT host,
+             CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+             CAST(floor(n_dup_docs * {MICRO}.0 / n_docs) AS BIGINT) AS dup_share_micro,
+             CAST(total_tokens AS BIGINT) AS total_tokens,
+             CAST(floor(total_tokens * {MICRO}.0 / n_docs) AS BIGINT) AS mean_tokens_micro,
+             tp.lg AS top_lang,
+             CAST(floor((-tp.nn) * {MICRO}.0 / n_docs) AS BIGINT) AS top_lang_share_micro,
+             n_docs >= {min_docs}
+               AND floor(n_dup_docs * {MICRO}.0 / n_docs) <= {max_dup_share_micro} AS keep
+      FROM roll
     """

@@ -96,32 +96,41 @@ def schedule_recrawl_by_change_rate(
     min_interval_s: int = 21_600,
     max_interval_s: int = 1_209_600,
     url_col: str = "url",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Revisit decisions at ``now``: ``(url, n_visits, n_changes,
-    interval_s, elapsed_s, staleness_micro, due)``.
+    interval_s, elapsed_s, staleness_micro, due[, carry...])``.
 
     ``interval_s`` = clamp(span_s div (2 * n_changes), min, max) — half
     the mean observed change interval; URLs with zero observed changes
     (or a single visit, span 0) take ``max_interval_s`` /
     ``min_interval_s`` respectively via the same clamp. ``due`` when
     elapsed >= interval; ``staleness_micro`` = floor(1e6 * elapsed /
-    interval) ranks the frontier by expected staleness."""
+    interval) ranks the frontier by expected staleness.
+
+    ``carry`` passes extra ``stats`` columns through unchanged — doing
+    it here instead of re-joining the schedule back onto ``stats``
+    matters: a url self-join recomputes the whole visit-log aggregation
+    on both branches (verified in the plan), one extra corpus pass for
+    what is a projection."""
     now_ts = F.lit(now).cast("timestamp")
     interval = F.when(F.col("n_changes") == 0, F.lit(max_interval_s)).otherwise(
         F.greatest(
             F.lit(min_interval_s),
             F.least(
                 F.lit(max_interval_s),
-                F.expr(f"span_s div (2 * n_changes)"),
+                F.expr("span_s div (2 * n_changes)"),
             ),
         )
     ).cast("long")
     elapsed = (
         F.unix_timestamp(now_ts) - F.unix_timestamp("last_ts")
     ).cast("long")
+    extra = [c for c in carry if c not in ("url", "last_ts")]
     d = stats.select(
         F.col(url_col).alias("url"), "n_visits", "n_changes", "last_ts",
         interval.alias("interval_s"), elapsed.alias("elapsed_s"),
+        *extra,
     )
     staleness = F.floor(F.col("elapsed_s") * MICRO / F.col("interval_s")).cast("long")
     return d.select(
@@ -129,6 +138,7 @@ def schedule_recrawl_by_change_rate(
         "n_visits", "n_changes", "interval_s", "elapsed_s",
         staleness.alias("staleness_micro"),
         (F.col("elapsed_s") >= F.col("interval_s")).alias("due"),
+        *([c for c in carry if c != "url"]),
     )
 
 

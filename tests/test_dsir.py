@@ -86,3 +86,22 @@ def test_plan_shape(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_pair_fit_equals_two_fits(spark):
+    """hashed_bigram_fit_pair (one gram pass) produces the identical
+    score table to the two-fit FULL-join path."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators.dsir import (
+        bucket_scores, bucket_scores_pair, hashed_bigram_fit,
+        hashed_bigram_fit_pair,
+    )
+
+    docs = _corpus(spark)
+    two = bucket_scores(
+        hashed_bigram_fit(docs.where(F.col("lang") == "en")),
+        hashed_bigram_fit(docs),
+    )
+    one = bucket_scores_pair(hashed_bigram_fit_pair(docs, F.col("lang") == "en"))
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
