@@ -2499,6 +2499,81 @@ _register("recrawl_schedule", _q_recrawl_schedule, None)
 _TAIL_ORACLES["recrawl_schedule"] = _recrawl_tail_oracle()
 
 
+# -- DUST: learned content-irrelevant URL parameters ---------------------------
+# DustBuster's query-param fragment (operators/dust.py) over a url/fp
+# relation synthesized from events: ~10 hosts x 5 paths x 4 ids; 'sid'
+# rides along on every third url and never affects the fingerprint
+# (accepted), 'v' rides along on every fifth and DOES (counter-evidence
+# kills it), ids are always present (never a candidate).
+def _q_dust_rules(spark, sf_dir):
+    from crawlspark.operators.dust import mine_dust_rules
+
+    ev = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"), F.lit(".com"))
+    path = F.concat(F.lit("/p"), (F.col("event_id") % 5).cast("string"))
+    idv = (F.col("event_id") % 4).cast("string")
+    sid = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(F.lit("&sid="), (F.col("event_id") % 2).cast("string")),
+    ).otherwise(F.lit(""))
+    vpart = F.when(
+        F.col("event_id") % 5 == 0,
+        F.concat(F.lit("&v="), (F.col("event_id") % 2).cast("string")),
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("http://"), host, path, F.lit("?id="), idv, sid, vpart
+    )
+    fp = F.md5(F.concat(host, path, F.lit("#"), idv, F.lit("#"), vpart))
+    obs = ev.select(url.alias("url"), fp.alias("content_fp"))
+    return mine_dust_rules(obs, min_support=3)
+
+
+def _dust_tail_oracle() -> str:
+    from crawlspark.operators.dust import mine_dust_rules_sql
+
+    obs = """(SELECT
+        'http://h' || CAST(user_id % 10 AS VARCHAR) || '.com/p'
+          || CAST(event_id % 5 AS VARCHAR) || '?id=' || CAST(event_id % 4 AS VARCHAR)
+          || CASE WHEN event_id % 3 = 0
+                  THEN '&sid=' || CAST(event_id % 2 AS VARCHAR) ELSE '' END
+          || CASE WHEN event_id % 5 = 0
+                  THEN '&v=' || CAST(event_id % 2 AS VARCHAR) ELSE '' END AS url,
+        md5('h' || CAST(user_id % 10 AS VARCHAR) || '.com/p'
+          || CAST(event_id % 5 AS VARCHAR) || '#' || CAST(event_id % 4 AS VARCHAR)
+          || '#'
+          || CASE WHEN event_id % 5 = 0
+                  THEN '&v=' || CAST(event_id % 2 AS VARCHAR) ELSE '' END) AS content_fp
+      FROM events) dustsrc"""
+    return mine_dust_rules_sql(obs, min_support=3)
+
+
+_register("dust_rules", _q_dust_rules, None)
+_TAIL_ORACLES["dust_rules"] = _dust_tail_oracle()
+
+
+# -- curation funnel: staged keep/kill with first-kill attribution -------------
+# The published-style pipeline audit (operators/funnel.py) composing
+# lang gate -> Gopher length -> top-token repetition -> exact dedup ->
+# decontamination over the documents table, benchmark = doc_id % 37
+# (decontam's own deterministic benchmark convention).
+def _q_curation_funnel(spark, sf_dir):
+    from crawlspark.operators.funnel import curation_funnel
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0).select("text")
+    return curation_funnel(d, bench)
+
+
+def _funnel_tail_oracle() -> str:
+    from crawlspark.operators.funnel import curation_funnel_sql
+
+    return curation_funnel_sql(bench_pred="doc_id % 37 = 0")
+
+
+_register("curation_funnel", _q_curation_funnel, None)
+_TAIL_ORACLES["curation_funnel"] = _funnel_tail_oracle()
+
+
 # -- inbound anchor-text aggregation ------------------------------------------
 # The classic web-graph text signal, over the same deterministic link
 # graph as `pagerank` with anchors cut from the source doc's text

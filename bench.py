@@ -43,6 +43,8 @@ HEADLINERS = [
     "embedding_topk", "bloom_seen_filter",
     "gopher_quality", "c4_line_filter", "anchor_text_agg",
     "redirect_resolve", "url_trap_filter", "blocklist_filter",
+    "boilerplate_blocks", "host_curation", "dsir_select", "recrawl_schedule",
+    "curation_funnel", "dust_rules",
 ]
 
 CRAWL_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "1200000"))
