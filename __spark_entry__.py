@@ -1433,8 +1433,30 @@ def _pagerank_oracle() -> None:
     )
 
 
+def _q_opic(spark, sf_dir):
+    """5-round synchronous OPIC (graph.opic_micro) over the same
+    deterministic link graph as `pagerank` — the importance estimate a
+    crawler maintains WHILE crawling (no convergence wait), banked
+    history + circulating cash in exact integer micro-units."""
+    from crawlspark.operators.graph import opic_micro
+
+    return opic_micro(_pagerank_edges_spark(spark, sf_dir), iterations=5)
+
+
+def _opic_oracle() -> str:
+    from crawlspark.operators.graph import opic_sql
+
+    inner = _PAGERANK_EDGES_SQL.replace(
+        ", nn", ", (SELECT count(*) AS n FROM documents) nn"
+    )
+    return opic_sql(inner, iterations=5)
+
+
 _register("pagerank", _q_pagerank, None)
 _pagerank_oracle()
+
+_register("opic", _q_opic, None)
+_TAIL_ORACLES["opic"] = _opic_oracle()
 
 
 # -- sequence packing (GPT-style fixed-token training examples) -------------
@@ -2206,6 +2228,70 @@ _ORACLES["oov_bigram_share"] = """
            AS oov_micro
   FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 """
+
+
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail stratification (lm.ccnet_buckets): the
+    per-language exact-thirds cut on the OOV-bigram quality score from
+    `oov_bigram_share` (reference LM = even-doc_id half). The standard
+    corpus-quality stratification CCNet publishes and trains on."""
+    from crawlspark.operators.lm import bigram_counts, ccnet_buckets, oov_bigram_share
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ref = bigram_counts(d.where(F.col("doc_id") % 2 == 0))
+    scored = oov_bigram_share(d.select("doc_id", "text"), ref).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return ccnet_buckets(scored)
+
+
+def _ccnet_tail_oracle() -> str:
+    from crawlspark.operators.lm import ccnet_buckets_sql
+
+    scored_cte = (
+        "SELECT o.doc_id, d.lang, o.oov_micro FROM ("
+        + _ORACLES["oov_bigram_share"]
+        + ") o JOIN documents d ON d.doc_id = o.doc_id"
+    )
+    return ccnet_buckets_sql(scored_cte)
+
+
+_register("ccnet_bucket", _q_ccnet_buckets, None)
+_TAIL_ORACLES["ccnet_bucket"] = _ccnet_tail_oracle()
+
+
+# -- encoding-artifact repair (ftfy-shaped mojibake / NBSP / control fix) ------
+# Artifacts planted deterministically from doc_id with an expression
+# valid in BOTH engines (chr(), CASE, || all portable): every third doc
+# gets cp1252 mojibake, every fifth a C0 control + NBSP.
+_FIX_SUFFIX = (
+    "CASE WHEN doc_id % 3 = 0 THEN ' itâ€™s â€œmojibakeâ€¦ Ã©tÃ©' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(31) || 'ctl' || chr(160) || 'nb'"
+    " ELSE '' END"
+)
+
+
+def _q_repair_encoding(spark, sf_dir):
+    """Mojibake / NBSP / control-char repair with per-class corruption
+    counts (fixtext.repair_encoding) over documents with
+    deterministically planted cp1252 artifacts."""
+    from crawlspark.operators.fixtext import repair_encoding
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.expr(_FIX_SUFFIX)).alias("text")
+    )
+    return repair_encoding(docs)
+
+
+def _repair_tail_oracle() -> str:
+    from crawlspark.operators.fixtext import repair_encoding_sql
+
+    inner = f"(SELECT doc_id, text || ({_FIX_SUFFIX}) AS text FROM documents) d"
+    return repair_encoding_sql(table=inner)
+
+
+_register("repair_encoding", _q_repair_encoding, None)
+_TAIL_ORACLES["repair_encoding"] = _repair_tail_oracle()
 
 
 # -- mirror-path formatting (O25/O26 + --format-paths) -----------------------

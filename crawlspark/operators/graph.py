@@ -150,3 +150,119 @@ def pagerank_sql(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, rank_micro FROM r{iterations}"
     )
+
+
+# ---------------------------------------------------------------------------
+# OPIC: On-line Page Importance Computation (Abiteboul, Preda, Cobena,
+# WWW 2003) — the importance estimate crawlers maintain WHILE crawling,
+# no convergence wait: each page holds CASH; visiting a page banks its
+# cash into HISTORY and distributes it equally to out-neighbors; a
+# page's importance estimate is its history share. Unlike PageRank
+# there is no damping — mass conservation comes from the VIRTUAL PAGE
+# that every dangling node pays into and that redistributes uniformly.
+# This is the synchronous-epoch adaptation (every page "visited" once
+# per round — the batch shape a Spark crawler actually runs between
+# epochs); the greedy visit-one-page-at-a-time variant is inherently
+# sequential and pointless on a cluster.
+# ---------------------------------------------------------------------------
+
+
+def opic_micro(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-``iterations`` synchronous OPIC over an edge list, integer
+    micro-units. Returns (node, history_micro, cash_micro): rank the
+    frontier by history_micro + cash_micro (the paper's unbiased
+    estimate adds the un-banked cash). Duplicate edges double-count —
+    pre-distinct like :func:`pagerank_micro`.
+
+    Per round, every node banks its cash (history += cash) and pays
+    cash DIV out_deg to each out-neighbor; dangling nodes pay their
+    whole cash to the virtual page, which splits it evenly (floor)
+    across all nodes the same round. Floor truncation loses <1
+    micro-unit per edge per round — monotonically shrinking total mass,
+    never reordering ranks. Scale shape: identical to pagerank_micro —
+    one contributions shuffle per round against static (src, out_deg)
+    edges, state chained through localCheckpoint so plan depth is O(1).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    state = nodes.select(
+        "node",
+        F.lit(0).cast("long").alias("history_micro"),
+        F.lit(BASE_MICRO).cast("long").alias("cash_micro"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            state.join(deg, state.node == deg.src)
+            .select("src", F.expr("cash_micro DIV out_deg").alias("c"))
+            .join(e, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        # virtual-page pot: the whole cash of out-degree-0 nodes,
+        # split evenly the same round (1-row aggregate, broadcast)
+        dang = (
+            state.join(deg, state.node == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("cash_micro"), F.lit(0)).cast("long").alias("__dang"))
+        )
+        state = (
+            state.join(contrib, state.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (F.col("history_micro") + F.col("cash_micro"))
+                .cast("long").alias("history_micro"),
+                (F.coalesce(F.col("s"), F.lit(0)) + F.expr(f"__dang DIV {n_nodes}"))
+                .cast("long").alias("cash_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
+def opic_sql(edges_cte: str, iterations: int = 5) -> str:
+    """DuckDB twin of :func:`opic_micro` — unrolled CTE per round,
+    bit-exact integer arithmetic including the per-round virtual-page
+    scalar."""
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
+        "ncnt AS (SELECT count(*) AS n FROM nodes)",
+        f"s0 AS (SELECT node, CAST(0 AS BIGINT) AS h, CAST({BASE_MICRO} AS BIGINT) AS c FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""d{i} AS (
+              SELECT coalesce(sum(s.c), 0) // (SELECT n FROM ncnt) AS share
+              FROM s{i - 1} s LEFT JOIN deg d ON s.node = d.src
+              WHERE d.src IS NULL)"""
+        )
+        parts.append(
+            f"""s{i} AS (
+              SELECT n.node,
+                     CAST(p.h + p.c AS BIGINT) AS h,
+                     CAST(coalesce(r.s, 0) + (SELECT share FROM d{i}) AS BIGINT) AS c
+              FROM nodes n
+              JOIN s{i - 1} p ON p.node = n.node
+              LEFT JOIN (
+                SELECT e.dst, sum(s.c // d.out_deg) AS s
+                FROM s{i - 1} s JOIN deg d ON s.node = d.src
+                JOIN edges e ON e.src = d.src
+                GROUP BY e.dst) r ON n.node = r.dst)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, h AS history_micro, c AS cash_micro FROM s{iterations}"
+    )

@@ -13,6 +13,11 @@ backbone of the same signal instead:
   = text unlike the reference corpus — gibberish, boilerplate soup,
   wrong language — the same ordering a smoothed-LM perplexity gives at
   the quality-filter operating point, minus the float.
+* :func:`ccnet_buckets` — CCNet's per-language head/middle/tail cut
+  (Wenzek et al. 2020 §4.3): within each language, rank documents by
+  the quality score and split into thirds by exact integer rank
+  comparison (rank*3 <= n). CCNet keeps head (+middle) for training;
+  the bucket column is the standard corpus-quality stratification.
 
 Scale: counts are (word, word, n) — tiny vs the corpus (vocab², capped
 by corpus bigram volume); the scoring join is a LEFT equi-join of the
@@ -108,3 +113,83 @@ def oov_bigram_share(
             .alias("oov_micro"),
         )
     )
+
+
+def ccnet_buckets(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    score_col: str = "oov_micro",
+) -> DataFrame:
+    """CCNet-style per-language quality stratification: rank documents
+    within each language by ``score_col`` ascending (lower = better,
+    matching oov_micro / perplexity polarity; ties broken by id for
+    determinism) and cut into exact thirds — ``(id, lang, score,
+    lang_rank, lang_n, bucket)`` with bucket head/middle/tail decided by
+    integer comparison (rank*3 <= n → head; rank*3 <= 2n → middle).
+    NULL scores ("no evidence" docs — see oov_bigram_share) get a NULL
+    bucket and consume no rank, so they can't dilute the thirds.
+
+    One window shuffle on the language key. Language cardinality is
+    tiny vs the corpus, so at 100 TB the per-lang partitions are huge
+    but uniform-ish; if one language dominates (it does — English), the
+    rank is a global sort WITHIN that partition — the same
+    single-key-window consideration as ordering.py's deterministic
+    total order, and the standard fix (range-partition by score within
+    lang) preserves these exact semantics because rank is a pure
+    function of (score, id) order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col)
+    wo = w.orderBy(F.asc_nulls_last(score_col), F.asc(id_col))
+    ranked = scored.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.col(score_col).cast("long").alias("score"),
+        F.row_number().over(wo).alias("lang_rank"),
+        F.count(score_col).over(w).alias("lang_n"),
+    )
+    bucket = (
+        F.when(F.col("score").isNull(), F.lit(None).cast("string"))
+        .when(F.col("lang_rank") * 3 <= F.col("lang_n"), "head")
+        .when(F.col("lang_rank") * 3 <= F.col("lang_n") * 2, "middle")
+        .otherwise("tail")
+    )
+    return ranked.select(
+        F.col("id").alias(id_col),
+        F.col("lang").alias(lang_col),
+        "score",
+        F.col("lang_rank").cast("long").alias("lang_rank"),
+        F.col("lang_n").cast("long").alias("lang_n"),
+        bucket.alias("bucket"),
+    )
+
+
+def ccnet_buckets_sql(
+    scored_cte: str,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    score_col: str = "oov_micro",
+) -> str:
+    """DuckDB twin of :func:`ccnet_buckets` over a CTE body producing
+    (id, lang, score) rows. NULLS LAST is explicit on both engines —
+    Spark's ASC default is nulls-FIRST, DuckDB's is nulls-last."""
+    return f"""
+      WITH scored AS ({scored_cte}),
+      ranked AS (
+        SELECT {id_col} AS id, {lang_col} AS lang,
+               CAST({score_col} AS BIGINT) AS score,
+               ROW_NUMBER() OVER (PARTITION BY {lang_col}
+                                  ORDER BY {score_col} ASC NULLS LAST,
+                                           {id_col} ASC) AS lang_rank,
+               count({score_col}) OVER (PARTITION BY {lang_col}) AS lang_n
+        FROM scored)
+      SELECT id AS {id_col}, lang AS {lang_col}, score,
+             CAST(lang_rank AS BIGINT) AS lang_rank,
+             CAST(lang_n AS BIGINT) AS lang_n,
+             CASE WHEN score IS NULL THEN NULL
+                  WHEN lang_rank * 3 <= lang_n THEN 'head'
+                  WHEN lang_rank * 3 <= lang_n * 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ranked
+    """

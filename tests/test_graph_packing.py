@@ -166,3 +166,60 @@ def test_sequence_pack_single_shuffle(spark):
     )
     plan = sequence_pack(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def _opic_py(edges, iterations=5):
+    """Independent synchronous OPIC: dict arithmetic, same documented
+    semantics (bank cash into history, pay cash//out_deg per out-edge,
+    dangling cash pools into the virtual page and splits evenly)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    h = {n: 0 for n in nodes}
+    c = {n: 1_000_000 for n in nodes}
+    for _ in range(iterations):
+        recv = {n: 0 for n in nodes}
+        for s, d in edges:
+            recv[d] += c[s] // deg[s]
+        pot = sum(c[n] for n in nodes if n not in deg)
+        share = pot // len(nodes)
+        h = {n: h[n] + c[n] for n in nodes}
+        c = {n: recv[n] + share for n in nodes}
+    return h, c
+
+
+def test_opic_matches_python_reference_and_conserves_mass(spark):
+    from crawlspark.operators.graph import opic_micro
+
+    # node 5 dangles -> virtual-page path exercised; 0 is a hub
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1), (1, 2), (2, 3), (3, 4), (4, 1), (2, 5)]
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    got = {r["node"]: (r["history_micro"], r["cash_micro"])
+           for r in opic_micro(df, iterations=5).collect()}
+    eh, ec = _opic_py(edges)
+    assert got == {n: (eh[n], ec[n]) for n in eh}
+    # no damping: circulating cash only shrinks by floor crumbs
+    total0 = len(eh) * 1_000_000
+    assert total0 * 0.99 < sum(ec.values()) <= total0
+    # hub 0 out-ranks the dangling leaf 5 on the paper's h+c estimate
+    assert eh[0] + ec[0] > eh[5] + ec[5]
+
+
+def test_opic_sql_twin_matches(spark):
+    import duckdb
+
+    from crawlspark.operators.graph import opic_micro, opic_sql
+
+    edges = [(i, (i * 3 + 1) % 7) for i in range(7)] + [(i, 0) for i in range(1, 7)]
+    edges = sorted(set(edges))
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    got = sorted(tuple(r) for r in opic_micro(df, 4).collect())
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    exp = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            opic_sql(f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", 4)
+        ).fetchall()
+    )
+    assert got == exp

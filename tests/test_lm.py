@@ -43,3 +43,53 @@ def test_min_ref_count_ignores_hapaxes(spark):
     # only "a b" (n=2) stays in-vocab; doc 0's own b-c and c-a turn OOV
     assert out[0] == 2
     assert out[1] == 2
+
+
+def test_ccnet_buckets_exact_thirds_and_null_handling(spark):
+    from crawlspark.operators.lm import ccnet_buckets
+
+    # en: 7 scored docs -> head 2 (r*3<=7), middle 2 (r*3<=14), tail 3;
+    # fr: 3 scored -> one per bucket; one NULL-score doc per lang
+    rows = (
+        [(i, "en", i * 10) for i in range(7)]
+        + [(7, "en", None)]
+        + [(10, "fr", 5), (11, "fr", 5), (12, "fr", 99)]  # tie on score
+        + [(13, "fr", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, oov_micro long")
+    out = {r.doc_id: r for r in ccnet_buckets(df).collect()}
+    assert [out[i].bucket for i in range(7)] == [
+        "head", "head", "middle", "middle", "tail", "tail", "tail"]
+    assert out[7].bucket is None and out[7].lang_n == 7
+    # fr: tie on score=5 broken by id -> 10 head, 11 middle, 12 tail
+    assert (out[10].bucket, out[11].bucket, out[12].bucket) == (
+        "head", "middle", "tail")
+    assert out[13].bucket is None and out[13].lang_n == 3
+
+
+def test_ccnet_buckets_sql_twin_matches(spark):
+    import duckdb
+    import pandas as pd
+
+    from crawlspark.operators.lm import ccnet_buckets, ccnet_buckets_sql
+
+    rows = (
+        [(i, "en", (i * 37) % 11) for i in range(9)]
+        + [(9, "en", None), (20, "fr", 1), (21, "fr", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, oov_micro long")
+    got = sorted(tuple(map(str, r)) for r in ccnet_buckets(df).collect())
+    con = duckdb.connect()
+    con.register(
+        "scored_src",
+        pd.DataFrame(rows, columns=["doc_id", "lang", "oov_micro"]).astype(
+            {"oov_micro": "Int64"}
+        ),
+    )
+    exp = sorted(
+        tuple(map(str, r))
+        for r in con.sql(
+            ccnet_buckets_sql("SELECT * FROM scored_src")
+        ).fetchall()
+    )
+    assert got == exp
