@@ -2294,6 +2294,36 @@ _register("repair_encoding", _q_repair_encoding, None)
 _TAIL_ORACLES["repair_encoding"] = _repair_tail_oracle()
 
 
+# -- lexical retrieval: inverted index + exact-integer BM25-shaped top-k -------
+# Queries synthesized from the corpus itself (2 words from every 41st
+# doc), so hits are guaranteed and scores exercise tf-saturation, the
+# idf surrogate, and multi-term summation.
+def _q_retrieve_topk(spark, sf_dir):
+    from crawlspark.operators.retrieval import retrieve_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = d.where(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 3, 2)).alias("qtext"),
+    )
+    return retrieve_topk(d, qs, k=5)
+
+
+def _retrieve_tail_oracle() -> str:
+    from crawlspark.operators.retrieval import retrieve_topk_sql
+
+    queries_cte = (
+        "SELECT doc_id AS query_id, "
+        "array_to_string(string_split(text, ' ')[3:4], ' ') AS qtext "
+        "FROM documents WHERE doc_id % 41 = 0"
+    )
+    return retrieve_topk_sql(queries_cte, k=5)
+
+
+_register("retrieve_topk", _q_retrieve_topk, None)
+_TAIL_ORACLES["retrieve_topk"] = _retrieve_tail_oracle()
+
+
 # -- mirror-path formatting (O25/O26 + --format-paths) -----------------------
 # URL → disk-mirror destination with the reference's directory-fanout
 # sharding (PathFormatter.cs:30-60, Downloader.cs:246-279). The synthetic
