@@ -2324,6 +2324,79 @@ _register("retrieve_topk", _q_retrieve_topk, None)
 _TAIL_ORACLES["retrieve_topk"] = _retrieve_tail_oracle()
 
 
+# -- robots-meta + rel=nofollow link admission ---------------------------------
+# Deterministic page HTML from doc_id: every 4th page noindex+nofollow
+# via meta (two attribute orders + a 'none' shorthand + an irrelevant
+# directive), every page one plain link, every 3rd an extra
+# rel=nofollow link.
+_ROBOTSMETA_HTML = (
+    "'<p>' || text || '</p>'"
+    " || CASE doc_id % 4"
+    "      WHEN 0 THEN '<meta name=\"robots\" content=\"noindex, nofollow\">'"
+    "      WHEN 1 THEN '<META CONTENT=\"none\" NAME=\"robots\">'"
+    "      WHEN 2 THEN '<meta name=\"robots\" content=\"noarchive\">'"
+    "      ELSE '' END"
+    " || '<a href=\"/l' || CAST(doc_id % 7 AS STRING) || '\">t</a>'"
+    " || CASE WHEN doc_id % 3 = 0"
+    "      THEN '<a rel=\"nofollow\" href=\"/n' || CAST(doc_id % 5 AS STRING)"
+    "           || '\">u</a>' ELSE '' END"
+)
+
+
+def _q_admissible_links(spark, sf_dir):
+    """Per-link crawl admission under page-level robots directives
+    (robotsmeta.admissible_links): meta noindex/nofollow/none parsing +
+    rel=nofollow link verdicts over deterministically planted HTML."""
+    from crawlspark.operators.robotsmeta import admissible_links
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_ROBOTSMETA_HTML).alias("html")
+    )
+    return admissible_links(docs)
+
+
+def _robotsmeta_tail_oracle() -> str:
+    from crawlspark.operators.robotsmeta import admissible_links_sql
+
+    html = _ROBOTSMETA_HTML.replace("AS STRING)", "AS VARCHAR)")
+    inner = f"(SELECT doc_id, {html} AS html FROM documents) d"
+    return admissible_links_sql(table=inner, html_col="html")
+
+
+_register("admissible_links", _q_admissible_links, None)
+_TAIL_ORACLES["admissible_links"] = _robotsmeta_tail_oracle()
+
+
+# -- corpus mixing: exact Hamilton apportionment of a token budget -------------
+# Weights derived per-source by the same deterministic expression both
+# engines evaluate; target chosen so allocations force remainder
+# distribution (not divisible by the weight sum).
+def _q_corpus_mix(spark, sf_dir):
+    """Training-mix planning (mixing.corpus_mix_plan): largest-remainder
+    apportionment of a 1M-token budget across sources — exact integers,
+    sum(alloc) == target as an identity — plus per-source epoch
+    pressure (epochs_micro)."""
+    from crawlspark.operators.mixing import corpus_mix_plan, source_token_stats
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    stats = source_token_stats(d)
+    weights = stats.select(
+        "source",
+        (F.lit(100) + F.length("source") * 37 % 400).cast("long").alias("weight"),
+    )
+    return corpus_mix_plan(stats, weights, 1_000_003)
+
+
+def _mixing_tail_oracle() -> str:
+    from crawlspark.operators.mixing import corpus_mix_plan_sql
+
+    return corpus_mix_plan_sql(1_000_003)
+
+
+_register("corpus_mix", _q_corpus_mix, None)
+_TAIL_ORACLES["corpus_mix"] = _mixing_tail_oracle()
+
+
 # -- mirror-path formatting (O25/O26 + --format-paths) -----------------------
 # URL → disk-mirror destination with the reference's directory-fanout
 # sharding (PathFormatter.cs:30-60, Downloader.cs:246-279). The synthetic

@@ -46,6 +46,7 @@ HEADLINERS = [
     "boilerplate_blocks", "host_curation", "dsir_select", "recrawl_schedule",
     "curation_funnel", "dust_rules",
     "opic", "ccnet_bucket", "repair_encoding", "retrieve_topk",
+    "admissible_links", "corpus_mix",
 ]
 
 CRAWL_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "1200000"))
