@@ -1233,8 +1233,8 @@ _ROBOTS_BODIES = [
     "User-agent: *\nDisallow: /private/\nDisallow: /tmp\n",
     "# lead comment\nUser-agent: googlebot\nDisallow: /g-only/\n\n"
     "User-agent: ourbot\nUser-agent: *\nDisallow: /mixed/\nAllow: /mixed/ok\n",
-    "User-agent: *\nDisallow:\n",
-    "User-agent: *\r\nDisallow: /crlf/ # inline\r\nCrawl-delay: 5\r\nDisallow: /after-delay\r\n",
+    "User-agent: *\nDisallow:\nAllow:\n",
+    "User-agent: *\r\nDisallow: /crlf/ # inline\r\nCrawl-delay: 5\r\nAllow: /crlf/ok # inline\r\nDisallow: /after-delay\r\n",
     "User-agent: googlebot\nDisallow: /x/\n",
     "",
     "User-agent: *\n# interleaved comment\nUser-agent: otherbot\nDisallow: /both\n",
@@ -1262,6 +1262,8 @@ def _q_robots_parse(spark, sf_dir):
         "host",
         F.size("disallow_prefixes").cast("long").alias("n_rules"),
         F.array_join("disallow_prefixes", "|").alias("rules"),
+        F.size("allow_prefixes").cast("long").alias("n_allow"),
+        F.array_join("allow_prefixes", "|").alias("allows"),
     )
 
 
@@ -1285,7 +1287,8 @@ def _robots_parse_oracle() -> None:
       cls AS (
         SELECT host, i, ln,
                regexp_extract(ln, '(?i)^\\s*user-agent\\s*:\\s*([^#\\s]+)', 1) AS ua,
-               regexp_extract(ln, '(?i)^\\s*disallow\\s*:\\s*([^#\\s]*)', 1) AS dis
+               regexp_extract(ln, '(?i)^\\s*disallow\\s*:\\s*([^#\\s]*)', 1) AS dis,
+               regexp_extract(ln, '(?i)^\\s*allow\\s*:\\s*([^#\\s]*)', 1) AS alw
         FROM lin
         WHERE NOT regexp_matches(ln, '^\\s*(#.*)?$')),
       grp AS (
@@ -1297,13 +1300,17 @@ def _robots_parse_oracle() -> None:
       ong AS (
         SELECT host, g, bool_or(ua = '*') AS on_grp FROM grp GROUP BY host, g),
       agg AS (
-        SELECT grp.host, list(grp.dis ORDER BY grp.i) AS rules
+        SELECT grp.host,
+               list(grp.dis ORDER BY grp.i) FILTER (WHERE grp.dis <> '') AS rules,
+               list(grp.alw ORDER BY grp.i) FILTER (WHERE grp.alw <> '') AS allows
         FROM grp JOIN ong ON grp.host = ong.host AND grp.g = ong.g
-        WHERE ong.on_grp AND grp.ua = '' AND grp.dis <> ''
+        WHERE ong.on_grp AND grp.ua = ''
         GROUP BY grp.host)
       SELECT h.host,
              CAST(coalesce(len(a.rules), 0) AS BIGINT) AS n_rules,
-             coalesce(array_to_string(a.rules, '|'), '') AS rules
+             coalesce(array_to_string(a.rules, '|'), '') AS rules,
+             CAST(coalesce(len(a.allows), 0) AS BIGINT) AS n_allow,
+             coalesce(array_to_string(a.allows, '|'), '') AS allows
       FROM hosts h LEFT JOIN agg a ON h.host = a.host
     """
 

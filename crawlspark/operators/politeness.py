@@ -65,6 +65,7 @@ def parse_robots_txt(
         F.lit(False).alias("on"),        # inside a group that includes *
         F.lit(False).alias("ua_run"),    # previous line was a User-agent line
         F.array().cast("array<string>").alias("acc"),
+        F.array().cast("array<string>").alias("alw"),
         F.lit(None).cast("string").alias("cd"),
         F.array().cast("array<string>").alias("sm"),
     )
@@ -72,6 +73,8 @@ def parse_robots_txt(
     def step(s, ln):
         ua = F.regexp_extract(ln, r"(?i)^\s*user-agent\s*:\s*([^#\s]+)", 1)
         dis = F.regexp_extract(ln, r"(?i)^\s*disallow\s*:\s*([^#\s]*)", 1)
+        # anchored, so 'Disallow:' can never feed the allow extractor
+        alw = F.regexp_extract(ln, r"(?i)^\s*allow\s*:\s*([^#\s]*)", 1)
         cdv = F.regexp_extract(ln, r"(?i)^\s*crawl-delay\s*:\s*([0-9]*\.?[0-9]+)", 1)
         smv = F.regexp_extract(ln, r"(?i)^\s*sitemap\s*:\s*([^#\s]+)", 1)
         is_ua = ua != ""
@@ -82,11 +85,12 @@ def parse_robots_txt(
         # was also a UA line; otherwise it starts a fresh group
         on = F.when(is_ua, (ua == "*") | (s.on & s.ua_run)).otherwise(s.on)
         acc = F.when(on & ~is_ua & (dis != ""), F.array_append(s.acc, dis)).otherwise(s.acc)
+        alw_acc = F.when(on & ~is_ua & (alw != ""), F.array_append(s.alw, alw)).otherwise(s.alw)
         cd = F.when(on & ~is_ua & (cdv != ""), cdv).otherwise(s.cd)
         sm = F.when(smv != "", F.array_append(s.sm, smv)).otherwise(s.sm)
         return F.when(is_noise, s).otherwise(
             F.struct(on.alias("on"), is_ua.alias("ua_run"), acc.alias("acc"),
-                     cd.alias("cd"), sm.alias("sm"))
+                     alw_acc.alias("alw"), cd.alias("cd"), sm.alias("sm"))
         )
 
     # fold once into a struct column, pick fields in a SECOND select:
@@ -94,13 +98,15 @@ def parse_robots_txt(
     # whole line fold into each output column (the winnow barrier trick)
     folded = F.aggregate(
         lines, init, step,
-        lambda s: F.struct(s.acc.alias("acc"), s.cd.alias("cd"), s.sm.alias("sm")),
+        lambda s: F.struct(s.acc.alias("acc"), s.alw.alias("alw"),
+                           s.cd.alias("cd"), s.sm.alias("sm")),
     )
     return robots_bodies.select(
         F.col(host_col).alias("host"), folded.alias("__r")
     ).select(
         "host",
         F.col("__r.acc").alias("disallow_prefixes"),
+        F.col("__r.alw").alias("allow_prefixes"),
         F.col("__r.cd").cast("double").alias("crawl_delay_s"),
         F.col("__r.sm").alias("sitemap_urls"),
     )
@@ -139,22 +145,46 @@ def budgets_from_crawl_delay(
 
 
 def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
-    """Drop candidate urls whose path matches a disallow prefix for the
-    url's host. robots(host, disallow_prefixes: array<string>) is tiny
-    (one row per host) → broadcast left join, no shuffle of candidates."""
+    """Drop candidate urls blocked by the host's robots rules under RFC
+    9309 longest-match precedence: the most specific (longest) matching
+    rule decides, and on a disallow/allow tie of equal length the allow
+    (least restrictive) wins — so a url is dropped iff its longest
+    matching disallow prefix is strictly longer than its longest
+    matching allow prefix. A robots frame without an ``allow_prefixes``
+    column (the bare pre-Allow cache shape) behaves as before: any
+    disallow match blocks. robots is tiny (one row per host) →
+    broadcast left join, no shuffle of candidates."""
     if robots is None:
         return candidates
     joined = candidates.join(F.broadcast(robots), "host", "left")
-    blocked = F.exists(
-        F.coalesce(F.col("disallow_prefixes"), F.array().cast("array<string>")),
-        lambda p: path_of(F.col("url")).startswith(p),
-    )
+    # stage the path once: a lambda closing over path_of(url) would
+    # re-run the extraction regexp per prefix element (HOF rule)
+    joined = joined.withColumn("__path", path_of(F.col("url")))
+
+    def longest(col_name: str):
+        arr = (
+            F.coalesce(F.col(col_name), F.array().cast("array<string>"))
+            if col_name in joined.columns
+            else F.array().cast("array<string>")
+        )
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.filter(arr, lambda p: F.col("__path").startswith(p)),
+                    lambda p: F.length(p),
+                )
+            ),
+            F.lit(0),
+        )
+
+    blocked = longest("disallow_prefixes") > longest("allow_prefixes")
     # drop() ignores absent columns, so both robots shapes — the bare
     # (host, disallow_prefixes) cache and parse_robots_txt's output with
-    # crawl_delay_s / sitemap_urls — pass through without widening the
-    # candidate schema
+    # allow_prefixes / crawl_delay_s / sitemap_urls — pass through
+    # without widening the candidate schema
     return joined.where(~blocked).drop(
-        "disallow_prefixes", "crawl_delay_s", "sitemap_urls"
+        "__path", "disallow_prefixes", "allow_prefixes",
+        "crawl_delay_s", "sitemap_urls",
     )
 
 

@@ -324,3 +324,45 @@ def test_parse_robots_crawl_delay_and_budgets(spark):
         "host string, disallow_prefixes array<string>, crawl_delay_s double",
     )
     assert budgets_from_crawl_delay(huge, epoch_seconds=60).first().tokens_per_epoch == 1
+
+
+def test_apply_robots_allow_longest_match_precedence(spark):
+    """RFC 9309 §2.2.2: most specific rule wins; allow wins exact ties."""
+    rows = [
+        Row(url="https://a.example/private/public/x", host="a.example"),
+        Row(url="https://a.example/private/y", host="a.example"),
+        Row(url="https://a.example/tie", host="a.example"),
+        Row(url="https://a.example/open", host="a.example"),
+    ]
+    df = spark.createDataFrame(rows)
+    robots = spark.createDataFrame([Row(
+        host="a.example",
+        disallow_prefixes=["/private/", "/tie"],
+        allow_prefixes=["/private/public/", "/tie"],
+    )])
+    got = {r["url"] for r in apply_robots(df, robots).collect()}
+    assert got == {
+        "https://a.example/private/public/x",   # longer allow overrides
+        "https://a.example/tie",                # equal length: allow wins
+        "https://a.example/open",               # no rule matches
+    }
+
+
+def test_parse_robots_txt_captures_allow_rules(spark):
+    from crawlspark.operators.politeness import apply_robots, parse_robots_txt
+
+    df = spark.createDataFrame(
+        [Row(host="h.example", robots_txt=(
+            "User-agent: *\nDisallow: /m/\nAllow: /m/ok\nAllow:\n"
+            "User-agent: other\nAllow: /not-ours\n"))]
+    )
+    parsed_row = parse_robots_txt(df).first()
+    assert list(parsed_row.disallow_prefixes) == ["/m/"]
+    # empty Allow contributes nothing; other-agent group ignored
+    assert list(parsed_row.allow_prefixes) == ["/m/ok"]
+    cand = spark.createDataFrame([
+        Row(url="https://h.example/m/ok/page", host="h.example"),
+        Row(url="https://h.example/m/no", host="h.example"),
+    ])
+    kept = {r.url for r in apply_robots(cand, parse_robots_txt(df)).collect()}
+    assert kept == {"https://h.example/m/ok/page"}
