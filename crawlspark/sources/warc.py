@@ -58,6 +58,7 @@ CDX_SCHEMA = T.StructType([
     T.StructField("record_offset", T.LongType()),
     T.StructField("record_length", T.LongType()),
     T.StructField("payload_digest", T.StringType()),
+    T.StructField("record_type", T.StringType()),   # response | revisit
 ])
 
 READ_SCHEMA = T.StructType(
@@ -100,11 +101,54 @@ def _gzip_member(raw: bytes) -> bytes:
     return co.compress(raw) + co.flush()
 
 
-def write_warc(pages: DataFrame, out_dir: str, n_files: int = 4) -> DataFrame:
+def _revisit_record_bytes(
+    url: str, ts: pd.Timestamp, canon_url: str, canon_ts: pd.Timestamp,
+    digest: str,
+) -> bytes:
+    """One WARC/1.1 ``revisit`` record (identical-payload-digest
+    profile, the Heritrix/Common Crawl dedup convention): HTTP response
+    headers are kept, the body is OMITTED — the record says "same bytes
+    as the referred response", which is what makes digest-dedup'd
+    archives small."""
+    http = (
+        b"HTTP/1.1 200 OK" + _CRLF
+        + b"Content-Type: text/html" + _CRLF
+        + _CRLF
+    )
+    headers = (
+        _WARC_VERSION + _CRLF
+        + b"WARC-Type: revisit" + _CRLF
+        + b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"WARC-Date: " + _format_warc_ts(ts) + _CRLF
+        + b"WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+          b"identical-payload-digest" + _CRLF
+        + b"WARC-Refers-To-Target-URI: " + canon_url.encode() + _CRLF
+        + b"WARC-Refers-To-Date: " + _format_warc_ts(canon_ts) + _CRLF
+        + b"WARC-Payload-Digest: sha1:" + digest.encode() + _CRLF
+        + b"Content-Type: application/http; msgtype=response" + _CRLF
+        + b"Content-Length: " + str(len(http)).encode() + _CRLF
+        + _CRLF
+    )
+    return headers + http + _CRLF + _CRLF
+
+
+def write_warc(
+    pages: DataFrame, out_dir: str, n_files: int = 4,
+    dedup_revisits: bool = False,
+) -> DataFrame:
     """Write ``(url, warc_ts, html)`` rows as ``n_files`` Common-Crawl-
     layout ``.warc.gz`` files under ``out_dir``; returns the CDX index
-    DataFrame (url → file/offset/length/digest) produced by the SAME
-    pass — one job, no second scan.
+    DataFrame (url → file/offset/length/digest/record_type) produced by
+    the SAME pass — one job, no second scan.
+
+    ``dedup_revisits=True`` enables WARC 1.1 digest dedup (the
+    Heritrix/Common Crawl convention): the earliest fetch of each
+    distinct payload — (warc_ts, url) order, deterministic — is stored
+    as a full ``response`` record; every other fetch of the same bytes
+    becomes a body-less ``revisit`` record referring to it. Costs one
+    window shuffle on the sha1 digest (narrow rows: the window ranks
+    (digest, ts, url); payloads move only to their output file, as
+    before).
 
     Files are url-hash partitioned and sorted within each file, so the
     output bytes are a pure function of the input set (stable across
@@ -119,16 +163,40 @@ def write_warc(pages: DataFrame, out_dir: str, n_files: int = 4) -> DataFrame:
         cdx = []
         offset = 0
         with open(os.path.join(out_dir, name), "wb") as f:
-            for url, ts, html in zip(rows["url"], rows["warc_ts"], rows["html"]):
+            for url, ts, html, canon_url, canon_ts, digest in zip(
+                rows["url"], rows["warc_ts"], rows["html"],
+                rows["_canon_url"], rows["_canon_ts"], rows["_digest"],
+            ):
                 html = bytes(html)
-                member = _gzip_member(_record_bytes(url, ts, html))
+                is_canon = (url == canon_url) and (ts == canon_ts)
+                if is_canon:
+                    raw = _record_bytes(url, ts, html)
+                    rtype = "response"
+                else:
+                    raw = _revisit_record_bytes(url, ts, canon_url, canon_ts, digest)
+                    rtype = "revisit"
+                member = _gzip_member(raw)
                 f.write(member)
-                cdx.append((url, name, offset, len(member),
-                            hashlib.sha1(html).hexdigest()))
+                cdx.append((url, name, offset, len(member), digest, rtype))
                 offset += len(member)
         return pd.DataFrame(cdx, columns=[f.name for f in CDX_SCHEMA])
 
     staged = pages.select("url", "warc_ts", "html").withColumn(
+        "_digest", F.sha1("html")
+    )
+    if dedup_revisits:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_digest")
+        canon = F.min(F.struct("warc_ts", "url")).over(w)
+        staged = staged.withColumn("_canon_ts", canon["warc_ts"]).withColumn(
+            "_canon_url", canon["url"]
+        )
+    else:
+        staged = staged.withColumn("_canon_ts", F.col("warc_ts")).withColumn(
+            "_canon_url", F.col("url")
+        )
+    staged = staged.withColumn(
         "_file_id", F.pmod(F.xxhash64("url"), F.lit(n_files))
     )
     # one shuffle: group == output file; the task both writes the
@@ -193,7 +261,11 @@ def _parse_record(raw: bytes) -> tuple[str, pd.Timestamp, bytes] | None:
 
 def read_warc(spark: SparkSession, warc_dir: str) -> DataFrame:
     """Scan ``*.warc.gz`` under ``warc_dir`` into the input_hint page
-    shape plus provenance ``(warc_file, record_offset)``.
+    shape plus provenance ``(warc_file, record_offset)``. Only
+    ``response`` records carry payloads; ``revisit`` records (digest
+    dedup, see ``write_warc``) are skipped here — reconstruct their
+    payloads by joining the CDX on ``payload_digest`` against the
+    response rows.
 
     ``binaryFile`` gives one row (path, content) per archive; the Arrow
     ``mapInPandas`` below splits gzip members and parses records. At

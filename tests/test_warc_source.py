@@ -112,3 +112,64 @@ def test_read_warc_skips_non_response_records(spark, tmp_path):
     assert rows[0]["url"] == "https://h/a"
     assert bytes(rows[0]["html"]) == html
     assert str(rows[0]["warc_ts"]) == "2026-01-02 03:04:05"
+
+
+def test_revisit_dedup_roundtrip(spark, corpus_dir, tmp_path):
+    """dedup_revisits: one response per distinct payload (earliest
+    (ts, url) wins), revisit records for the rest, smaller archive."""
+    import pandas as pd
+
+    base = _pages(spark, corpus_dir).limit(20)
+    # duplicate every payload under a different url, one hour later
+    dup = base.select(
+        F.concat(F.col("url"), F.lit("?mirror=1")).alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+        "html",
+    )
+    pages = base.unionByName(dup)
+    out = str(tmp_path / "warc_dedup")
+    cdx = write_warc(pages, out, n_files=3, dedup_revisits=True)
+    types = {r["record_type"]: r["n"]
+             for r in cdx.groupBy("record_type").agg(F.count("*").alias("n")).collect()}
+    n_payloads = base.select(F.sha1("html")).distinct().count()
+    assert types["response"] == n_payloads
+    assert types["response"] + types["revisit"] == pages.count()
+    # reader returns exactly the canonical responses, payloads intact
+    got = _as_set(read_warc(spark, out).select("url", "warc_ts", "html"))
+    canon = {
+        min(g)  # (ts, url) min == earliest fetch
+        for _, g in pd.DataFrame(
+            [(r["url"], r["warc_ts"], bytes(r["html"])) for r in pages.collect()],
+            columns=["u", "t", "h"],
+        ).assign(d=lambda x: x.h.map(hash)).groupby("d").apply(
+            lambda g: [(t, u, h) for u, t, h in zip(g.u, g.t, g.h)]
+        ).items()
+    }
+    assert got == {(u, t, h) for t, u, h in canon}
+    # raw bytes: revisit records carry the profile + refers-to headers
+    blob = b""
+    for f in sorted(os.listdir(out)):
+        if f.endswith(".warc.gz"):
+            with open(os.path.join(out, f), "rb") as fh:
+                blob += gzip.decompress(fh.read())
+    assert blob.count(b"WARC-Type: revisit") == types["revisit"]
+    assert b"identical-payload-digest" in blob
+    assert b"WARC-Refers-To-Target-URI: " in blob
+    # dedup'd archive is smaller (the saving is the duplicate payload
+    # bytes; the test corpus's ~2 KB pages compress well, so headers
+    # dominate and the ratio is modest here — at real page sizes the
+    # payload term dominates)
+    full = str(tmp_path / "warc_full")
+    write_warc(pages, full, n_files=3)
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d) if f.endswith(".warc.gz"))
+    assert size(out) < size(full)
+
+
+def test_revisit_off_keeps_old_behavior(spark, corpus_dir, tmp_path):
+    pages = _pages(spark, corpus_dir).limit(10)
+    out = str(tmp_path / "warc_plain")
+    cdx = write_warc(pages, out, n_files=2)
+    assert {r["record_type"] for r in cdx.collect()} == {"response"}
+    assert _as_set(read_warc(spark, out).select("url", "warc_ts", "html")) == _as_set(pages)
