@@ -726,6 +726,34 @@ _register(
 )
 
 
+def _q_lsh_bucket_keepers(spark, sf_dir):
+    """Collision-only LSH admission (dedup.lsh_bucket_keepers): a doc is
+    dropped iff any band bucket holds a smaller id — the batch twin of
+    the streaming near-dup gate (streaming/lsh.py), order-independent
+    min-per-bucket rule, no Jaccard verify."""
+    from crawlspark.operators.dedup import lsh_bucket_keepers
+
+    return lsh_bucket_keepers(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MH_N, band_size=_MH_BAND, k=_MH_K,
+    )
+
+
+_register("lsh_bucket_keepers", _q_lsh_bucket_keepers, None)
+_TAIL_ORACLES["lsh_bucket_keepers"] = f"""
+  WITH sh AS (SELECT doc_id, {_duck_shingles()} AS sh FROM documents),
+       sigs AS (SELECT doc_id, {_mh_sig_cols} FROM sh),
+       bands AS ({_mh_band_rows}),
+       bmin AS (SELECT band_idx, band_key, min(doc_id) AS m
+                FROM bands GROUP BY band_idx, band_key),
+       dropped AS (SELECT DISTINCT b.doc_id
+                   FROM bands b JOIN bmin USING (band_idx, band_key)
+                   WHERE bmin.m < b.doc_id)
+  SELECT d.doc_id, dr.doc_id IS NULL AS admitted
+  FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+"""
+
+
 def _q_dedup_minhash_lsh_xx(spark, sf_dir):
     """The 100 TB shuffle configuration of the capped LSH: xxhash64
     signatures and band keys (8-byte longs) instead of md5 hex strings

@@ -238,6 +238,35 @@ def lsh_dedup_keepers(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return df.select(id_col).join(dropped, id_col, "left_anti")
 
 
+def lsh_bucket_keepers(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       num_hashes: int = 8, band_size: int = 2, k: int = 3) -> DataFrame:
+    """Collision-only LSH admission: ``(id, admitted)`` where a doc is
+    dropped iff ANY of its band buckets (band_idx, band_key) contains a
+    smaller doc id — the pure min-per-bucket rule, no Jaccard verify.
+    Order-independent by construction (a min over each bucket), which
+    is what makes it the batch twin of the STREAMING gate
+    (streaming/lsh.py): a first-arrival-wins stream equals this rule
+    exactly when docs arrive in id order. Use :func:`lsh_dedup_keepers`
+    when you want verified (higher-precision) batch dedup; this rule
+    trades false drops for a verify-free single aggregate."""
+    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, k)
+    bmin = bands.groupBy("band_idx", "band_key").agg(
+        F.min(id_col).alias("__bmin")
+    )
+    dropped = (
+        bands.join(bmin, ["band_idx", "band_key"])
+        .where(F.col("__bmin") < F.col(id_col))
+        .select(id_col)
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        df.select(id_col)
+        .join(dropped, id_col, "left")
+        .select(id_col, F.coalesce(~F.col("__dropped"), F.lit(True)).alias("admitted"))
+    )
+
+
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3,
                   max_bucket_size: int | None = None) -> DataFrame:

@@ -207,3 +207,44 @@ def test_stream_seed_ingest_gate_and_crawl_handoff(spark, tmp_path):
     fetched = CrawlState(sd).fetched.read(spark)
     assert fetched.count() > 0
     assert fetched.count() == fetched.select("url").distinct().count()
+
+
+def test_stream_lsh_dedup_equals_batch_bucket_rule(spark, tmp_path):
+    """Streaming near-dup gate: two id-ordered availableNow runs — the
+    second re-delivers near-duplicates (shared shingles) of run-1 docs
+    plus genuinely new ones — admit exactly the docs the batch
+    min-per-bucket rule (lsh_bucket_keepers) admits over the union."""
+    from pyspark.sql import Row
+
+    from crawlspark.operators.dedup import lsh_bucket_keepers
+    from crawlspark.streaming.lsh import stream_lsh_dedup
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "lsh_out")
+    state_dir = str(tmp_path / "lsh_state")
+    ckpt = str(tmp_path / "lsh_ckpt")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    run1 = [
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base + " lambda"),              # near-dup of 0
+        Row(doc_id=2, text="totally different words entirely here now"),
+    ]
+    spark.createDataFrame(run1).write.mode("overwrite").parquet(docs_dir)
+    q = stream_lsh_dedup(spark, docs_dir, ckpt, out_dir, state_dir)
+    q.awaitTermination(120)
+    first = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert 0 in first and 2 in first and 1 not in first
+
+    run2 = [
+        Row(doc_id=10, text=base + " mu"),                 # near-dup across runs
+        Row(doc_id=11, text="another fresh document with its own tokens"),
+    ]
+    spark.createDataFrame(run2).write.mode("append").parquet(docs_dir)
+    q = stream_lsh_dedup(spark, docs_dir, ckpt, out_dir, state_dir)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert 10 not in got and 11 in got
+
+    batch = lsh_bucket_keepers(spark.read.parquet(docs_dir))
+    exp = {r.doc_id for r in batch.collect() if r.admitted}
+    assert got == exp
