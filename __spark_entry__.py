@@ -1214,6 +1214,28 @@ _register("url_normalize", _q_url_normalize, None)
 _url_normalize_oracle()
 
 
+def _q_surt_key(spark, sf_dir):
+    """SURT canonical keys (urls.surt_key): the web-archive sort form —
+    reversed host labels + path — over the same deterministically-messy
+    url variants as `url_normalize`, so ports, fragments, case, and
+    trailing-dot hosts are all exercised."""
+    from crawlspark.functions.urls import surt_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", surt_key(F.expr(_MESSY_URL_SPARK)).alias("surt"))
+
+
+def _surt_tail_oracle() -> str:
+    from crawlspark.functions.urls import surt_key_sql
+
+    messy = _MESSY_URL_SPARK.replace("CAST(doc_id % 5 AS INT)", "CAST(doc_id % 5 AS INTEGER)")
+    return f"SELECT doc_id, {surt_key_sql(f'({messy})')} AS surt FROM documents"
+
+
+_register("surt_key", _q_surt_key, None)
+_TAIL_ORACLES["surt_key"] = _surt_tail_oracle()
+
+
 # deterministic PII planting: the synthetic corpus has no real PII, so
 # each doc gets a class of PII appended by doc_id — the check is
 # NON-vacuous (every redaction class fires) and both engines construct

@@ -103,3 +103,37 @@ def normalize_url_sql(col: str) -> str:
         f"CASE WHEN regexp_extract({out}, '^https?://[^/?#]+(/|\\?|#|$)', 1) = '' "
         f"THEN {out} || '/' ELSE {out} END"
     )
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) — the canonical
+    key web-archive tooling (wayback CDX, Common Crawl indexes) sorts
+    and groups by: host labels lowercased and REVERSED, comma-joined,
+    then ``)`` + path — ``https://www.Example.org/a?b=1`` →
+    ``org,example,www)/a?b=1``. Reversing the host puts a registrable
+    domain's every subdomain in one contiguous key range, so domain
+    scans are range scans and per-domain grouping is a prefix match.
+    Scheme and fragment are dropped (SURT convention); query order is
+    preserved (sorting it is normalize_url-family work). Pure
+    expressions, zero shuffle."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.regexp_extract(c, _HOST_RE, 1))
+    # strip an explicit port: the key must range-group with portless
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    tail = F.regexp_replace(
+        F.regexp_replace(c, r"^[^/]*//[^/?#]*", ""), r"#.*$", ""
+    )
+    return F.concat(rev, F.lit(")"), F.when(tail == "", "/").otherwise(tail))
+
+
+def surt_key_sql(col: str) -> str:
+    """DuckDB twin of :func:`surt_key` — identical regexp chain;
+    list_reverse + array_to_string for the label flip."""
+    # same _HOST_RE the Spark side uses (unanchored https? search)
+    host = f"regexp_replace(lower(regexp_extract({col}, 'https?://([^/?#]+)', 1)), ':[0-9]+$', '')"
+    rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    tail = f"regexp_replace(regexp_replace({col}, '^[^/]*//[^/?#]*', ''), '#.*$', '')"
+    return (
+        f"({rev} || ')' || CASE WHEN {tail} = '' THEN '/' ELSE {tail} END)"
+    )

@@ -366,3 +366,28 @@ def test_parse_robots_txt_captures_allow_rules(spark):
     ])
     kept = {r.url for r in apply_robots(cand, parse_robots_txt(df)).collect()}
     assert kept == {"https://h.example/m/ok/page"}
+
+
+def test_surt_key_goldens_and_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from crawlspark.functions.urls import surt_key, surt_key_sql
+
+    rows = [
+        (0, "https://www.Example.org/a?b=1#frag"),
+        (1, "http://sub.host.example.com:8080/p/q"),
+        (2, "https://example.com"),
+        (3, "https://one.example.com./dot"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.surt for r in df.select("doc_id", surt_key("url").alias("surt")).collect()}
+    assert got[0] == "org,example,www)/a?b=1"
+    assert got[1] == "com,example,host,sub)/p/q"   # port stripped
+    assert got[2] == "com,example)/"               # empty path -> /
+    # subdomains of one domain share a key prefix (the range-scan point)
+    assert got[0].startswith("org,example") and got[3].startswith(",com,example,one")
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame(rows, columns=["doc_id", "url"]))
+    exp = dict(con.sql(f"SELECT doc_id, {surt_key_sql('url')} FROM u").fetchall())
+    assert got == exp
