@@ -1594,6 +1594,53 @@ _register("classifier_score", _q_classifier_score, None)
 _classifier_oracle()
 
 
+# labels for the classifier-eval pair: deterministic pseudo-random split
+# (Knuth mix mod 97), identical expression in both engines
+_EVAL_LABEL_SPARK = "(doc_id * 2654435761) % 97 < 48"
+
+
+def _eval_scored_labels(spark, sf_dir):
+    from crawlspark.operators.classify import classifier_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = classifier_score(d)
+    labels = d.select("doc_id", F.expr(_EVAL_LABEL_SPARK).alias("label"))
+    return scored, labels
+
+
+def _q_calibration_bins(spark, sf_dir):
+    """Reliability table (classify.calibration_bins): equal-count rank
+    bins of the hashed-linear quality score vs deterministic labels —
+    exact integer bin cuts and positive rates."""
+    from crawlspark.operators.classify import calibration_bins
+
+    scored, labels = _eval_scored_labels(spark, sf_dir)
+    return calibration_bins(scored, labels, n_bins=10)
+
+
+def _q_classifier_auc(spark, sf_dir):
+    """Exact tie-aware ROC AUC (classify.classifier_auc) in integer
+    micro-units — Mann-Whitney U over the distinct-score relation,
+    floored once at the end."""
+    from crawlspark.operators.classify import classifier_auc
+
+    scored, labels = _eval_scored_labels(spark, sf_dir)
+    return classifier_auc(scored, labels)
+
+
+def _eval_oracles() -> tuple[str, str]:
+    from crawlspark.operators.classify import classifier_eval_sql
+
+    return classifier_eval_sql(
+        f"(d.{'doc_id'} * 2654435761) % 97 < 48", n_bins=10
+    )
+
+
+_register("calibration_bins", _q_calibration_bins, None)
+_register("classifier_auc", _q_classifier_auc, None)
+_TAIL_ORACLES["calibration_bins"], _TAIL_ORACLES["classifier_auc"] = _eval_oracles()
+
+
 def _pct_x10_expr(mult: int) -> str:
     """EXACT interpolated percentile in integer x10 micro-units over a
     sorted array column `arr` of BIGINTs with `n = size(arr)`:

@@ -90,3 +90,162 @@ def classifier_score_sql(
              sum(w) > 0 AS keep
       FROM w GROUP BY id
     """
+
+
+def calibration_bins(
+    scored: DataFrame,
+    labels: DataFrame,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability table for a score column against boolean labels:
+    rank documents by (score, id), cut into ``n_bins`` equal-count bins
+    (bin = (rank-1)*B DIV n — exact integers, no quantile estimation),
+    and report per bin ``(bin, n, n_pos, pos_micro, score_min,
+    score_max)``. A well-calibrated score shows pos_micro rising with
+    the bin index; flat bins mean the score carries no signal — the
+    first diagnostic before trusting a quality gate.
+
+    Scale note: the global rank is one total sort of (score, id) pairs
+    — narrow rows, the ordering.py total-order consideration; the bin
+    rule is a pure function of rank so a range-partitioned sort
+    preserves it exactly."""
+    from pyspark.sql import Window
+
+    j = scored.select(
+        F.col(id_col).alias("id"), F.col(score_col).cast("long").alias("s")
+    ).join(
+        labels.select(F.col(id_col).alias("id"), F.col(label_col).alias("y")), "id"
+    )
+    w = Window.partitionBy().orderBy("s", "id")
+    ranked = j.select(
+        "s", "y",
+        F.row_number().over(w).alias("__rk"),
+        F.count("*").over(Window.partitionBy()).alias("__n"),
+    )
+    binned = ranked.select(
+        "s", "y", F.expr(f"(__rk - 1) * {n_bins} DIV __n").alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
+            F.min("s").alias("score_min"),
+            F.max("s").alias("score_max"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.expr("(n_pos * 1000000) DIV n").cast("long").alias("pos_micro"),
+            "score_min", "score_max",
+        )
+    )
+
+
+def classifier_auc(
+    scored: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact tie-aware ROC AUC in integer micro-units: one row
+    ``(n_pos, n_neg, n_concordant, n_tied, auc_micro)`` where
+    ``auc_micro = (2*concordant + tied) * 500000 DIV (n_pos*n_neg)`` —
+    the Mann-Whitney U with ties counted half, floored once at the end
+    (the documented exactness point; a float AUC's summation order
+    can't cross engines).
+
+    Plan: collapse to the distinct-score relation (one hash agg —
+    positives/negatives per score), then an exclusive running sum of
+    negatives over ascending score. The ordered window runs over
+    DISTINCT scores, usually << corpus; if the score domain is itself
+    huge, range-partition the sort (rank is order-determined, the
+    result is unchanged)."""
+    from pyspark.sql import Window
+
+    j = scored.select(
+        F.col(id_col).alias("id"), F.col(score_col).cast("long").alias("s")
+    ).join(
+        labels.select(F.col(id_col).alias("id"), F.col(label_col).alias("y")), "id"
+    )
+    per = j.groupBy("s").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("p"),
+        F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("q"),
+    )
+    w = Window.partitionBy().orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = per.select(
+        "p", "q", F.coalesce(F.sum("q").over(w), F.lit(0)).alias("q_below")
+    )
+    return staged.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("q").cast("long").alias("n_neg"),
+        F.sum(F.col("p") * F.col("q_below")).cast("long").alias("n_concordant"),
+        F.sum(F.col("p") * F.col("q")).cast("long").alias("n_tied"),
+    ).select(
+        "*",
+        F.expr(
+            "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+            "(2 * n_concordant + n_tied) * 500000 DIV (n_pos * n_neg) END"
+        ).cast("long").alias("auc_micro"),
+    )
+
+
+def classifier_eval_sql(
+    labels_expr: str,
+    n_bins: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[str, str]:
+    """DuckDB twins of (:func:`calibration_bins`, :func:`classifier_auc`)
+    over :func:`classifier_score`'s scores and a label expression on the
+    same table."""
+    scored = classifier_score_sql(table, id_col, text_col)
+    base = f"""
+      WITH scored AS ({scored}),
+      j AS (SELECT s.{id_col} AS id, s.score AS s, {labels_expr} AS y
+            FROM scored s JOIN {table} d ON d.{id_col} = s.{id_col})"""
+    bins = f"""{base},
+      ranked AS (
+        SELECT s, y,
+               ROW_NUMBER() OVER (ORDER BY s, id) AS rk,
+               count(*) OVER () AS n
+        FROM j),
+      binned AS (SELECT s, y, (rk - 1) * {n_bins} // n AS bin FROM ranked)
+      SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000 // count(*)
+               AS BIGINT) AS pos_micro,
+             min(s) AS score_min, max(s) AS score_max
+      FROM binned GROUP BY bin"""
+    auc = f"""{base},
+      per AS (
+        SELECT s,
+               sum(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+               sum(CASE WHEN y THEN 0 ELSE 1 END) AS q
+        FROM j GROUP BY s),
+      staged AS (
+        SELECT p, q,
+               coalesce(sum(q) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS q_below
+        FROM per),
+      agg AS (
+        SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(q) AS BIGINT) AS n_neg,
+               CAST(sum(p * q_below) AS BIGINT) AS n_concordant,
+               CAST(sum(p * q) AS BIGINT) AS n_tied
+        FROM staged)
+      SELECT n_pos, n_neg, n_concordant, n_tied,
+             CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               (2 * n_concordant + n_tied) * 500000 // (n_pos * n_neg) END
+               AS BIGINT) AS auc_micro
+      FROM agg"""
+    return bins, auc
