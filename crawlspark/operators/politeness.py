@@ -22,7 +22,7 @@ class loses only rows ranked below K within that class.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from crawlspark.functions.urls import path_of
@@ -144,16 +144,41 @@ def budgets_from_crawl_delay(
     )
 
 
+def _rule_regex(p: Column) -> Column:
+    """RFC 9309 path rule → anchored Java/RE2 regex: every regex
+    metachar escaped, then the rule's ``*`` (match any sequence) and a
+    TRAILING ``$`` (end anchor) restored. regexp_like is a search, so
+    the leading ``^`` gives prefix semantics when no ``$`` is present —
+    exactly the REP matching model."""
+    rx = F.regexp_replace(p, r"([.^$*+?()\[\]{}|\\])", r"\\$1")
+    rx = F.regexp_replace(rx, r"\\\*", ".*")
+    rx = F.regexp_replace(rx, r"\\\$$", r"\$")
+    return F.concat(F.lit("^"), rx)
+
+
+def _rule_matches(path: Column, p: Column) -> Column:
+    """One robots rule against one path: plain rules are prefix
+    compares (the cheap common case); rules carrying ``*`` or a
+    trailing ``$`` go through the regex translation."""
+    wild = p.contains("*") | p.endswith("$")
+    return F.when(wild, F.regexp_like(path, _rule_regex(p))).otherwise(
+        path.startswith(p)
+    )
+
+
 def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop candidate urls blocked by the host's robots rules under RFC
-    9309 longest-match precedence: the most specific (longest) matching
-    rule decides, and on a disallow/allow tie of equal length the allow
-    (least restrictive) wins — so a url is dropped iff its longest
-    matching disallow prefix is strictly longer than its longest
-    matching allow prefix. A robots frame without an ``allow_prefixes``
-    column (the bare pre-Allow cache shape) behaves as before: any
-    disallow match blocks. robots is tiny (one row per host) →
-    broadcast left join, no shuffle of candidates."""
+    9309 longest-match precedence: the most specific (longest rule
+    text) matching rule decides, and on a disallow/allow tie of equal
+    length the allow (least restrictive) wins — so a url is dropped iff
+    its longest matching disallow rule is strictly longer than its
+    longest matching allow rule. Rules may carry the RFC's ``*``
+    wildcard and trailing ``$`` anchor (§2.2.3); rule "length" is the
+    raw rule text's length, wildcards included (the common
+    implementation convention). A robots frame without an
+    ``allow_prefixes`` column (the bare pre-Allow cache shape) behaves
+    as before: any disallow match blocks. robots is tiny (one row per
+    host) → broadcast left join, no shuffle of candidates."""
     if robots is None:
         return candidates
     joined = candidates.join(F.broadcast(robots), "host", "left")
@@ -170,7 +195,7 @@ def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
         return F.coalesce(
             F.array_max(
                 F.transform(
-                    F.filter(arr, lambda p: F.col("__path").startswith(p)),
+                    F.filter(arr, lambda p: _rule_matches(F.col("__path"), p)),
                     lambda p: F.length(p),
                 )
             ),

@@ -391,3 +391,40 @@ def test_surt_key_goldens_and_twin(spark):
     con.register("u", pd.DataFrame(rows, columns=["doc_id", "url"]))
     exp = dict(con.sql(f"SELECT doc_id, {surt_key_sql('url')} FROM u").fetchall())
     assert got == exp
+
+
+def test_apply_robots_wildcard_and_anchor_rules(spark):
+    """RFC 9309 §2.2.3: '*' matches any sequence, trailing '$' anchors
+    the end; regex metachars in rules stay literal."""
+    rows = [
+        Row(url="https://a.example/fish1.php", host="a.example"),
+        Row(url="https://a.example/fishx/y.php", host="a.example"),
+        Row(url="https://a.example/fish", host="a.example"),
+        Row(url="https://a.example/dir/", host="a.example"),
+        Row(url="https://a.example/dir/page", host="a.example"),
+        Row(url="https://a.example/p.q/r", host="a.example"),
+        Row(url="https://a.example/pxq/r", host="a.example"),
+    ]
+    df = spark.createDataFrame(rows)
+    robots = spark.createDataFrame(
+        [("a.example", ["/fish*.php", "/dir/$", "/p.q/"], [])],
+        "host string, disallow_prefixes array<string>, allow_prefixes array<string>",
+    )
+    got = {r["url"].split(".example")[1] for r in apply_robots(df, robots).collect()}
+    assert got == {"/fish", "/dir/page", "/pxq/r"}
+
+
+def test_apply_robots_wildcard_allow_overrides(spark):
+    # longest rule text wins across wildcard rules too
+    rows = [
+        Row(url="https://a.example/media/file.pdf", host="a.example"),
+        Row(url="https://a.example/media/file.html", host="a.example"),
+    ]
+    df = spark.createDataFrame(rows)
+    robots = spark.createDataFrame([Row(
+        host="a.example",
+        disallow_prefixes=["/media/"],
+        allow_prefixes=["/media/*.html"],
+    )])
+    got = {r["url"] for r in apply_robots(df, robots).collect()}
+    assert got == {"https://a.example/media/file.html"}
