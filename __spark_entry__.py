@@ -1641,6 +1641,73 @@ _register("classifier_auc", _q_classifier_auc, None)
 _TAIL_ORACLES["calibration_bins"], _TAIL_ORACLES["classifier_auc"] = _eval_oracles()
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Embedding-pipeline chunking (chunking.chunk_documents): sliding
+    32-token windows with 8-token overlap, per-chunk provenance
+    (start_tok / n_tok), pure per-row array algebra + one explode."""
+    from crawlspark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        chunk_tokens=32, overlap=8,
+    )
+
+
+def _chunk_tail_oracle() -> str:
+    from crawlspark.operators.chunking import chunk_documents_sql
+
+    return chunk_documents_sql(chunk_tokens=32, overlap=8)
+
+
+_register("chunk_documents", _q_chunk_documents, None)
+_TAIL_ORACLES["chunk_documents"] = _chunk_tail_oracle()
+
+
+# -- page metadata (title / description / charset / og:title) ------------------
+# Planted head built portably from doc_id: title always present (case
+# varies), description on every 2nd page (with a duplicate to pin
+# first-wins), charset as HTML5 attr or legacy http-equiv, og on 5ths.
+_PAGEMETA_HTML = (
+    "'<TITLE>Doc ' || CAST(doc_id AS STRING) || '</TITLE>'"
+    " || CASE WHEN doc_id % 2 = 0 THEN"
+    "   '<meta name=\"description\" content=\"summary ' || CAST(doc_id % 7 AS STRING) || '\">' ||"
+    "   '<meta name=\"description\" content=\"dup never wins\">' ELSE '' END"
+    " || CASE CAST(doc_id % 3 AS INT)"
+    "   WHEN 0 THEN '<meta charset=\"UTF-8\">'"
+    "   WHEN 1 THEN '<meta http-equiv=\"Content-Type\" content=\"text/html; charset=iso-8859-1\">'"
+    "   ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN"
+    "   '<meta property=\"og:title\" content=\"OG ' || CAST(doc_id AS STRING) || '\">' ELSE '' END"
+    " || '<p>' || text || '</p>'"
+)
+
+
+def _q_page_metadata(spark, sf_dir):
+    """Head-metadata extraction (pagemeta.page_metadata): title /
+    meta description (first wins) / declared charset (HTML5 + legacy
+    http-equiv) / og:title over deterministically planted heads."""
+    from crawlspark.operators.pagemeta import page_metadata
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PAGEMETA_HTML).alias("html")
+    )
+    return page_metadata(docs)
+
+
+def _pagemeta_tail_oracle() -> str:
+    from crawlspark.operators.pagemeta import page_metadata_sql
+
+    html = _PAGEMETA_HTML.replace("AS STRING)", "AS VARCHAR)").replace(
+        "CAST(doc_id % 3 AS INT)", "CAST(doc_id % 3 AS INTEGER)"
+    )
+    inner = f"(SELECT doc_id, {html} AS html FROM documents) d"
+    return page_metadata_sql(table=inner, html_col="html")
+
+
+_register("page_metadata", _q_page_metadata, None)
+_TAIL_ORACLES["page_metadata"] = _pagemeta_tail_oracle()
+
+
 def _pct_x10_expr(mult: int) -> str:
     """EXACT interpolated percentile in integer x10 micro-units over a
     sorted array column `arr` of BIGINTs with `n = size(arr)`:
