@@ -2550,7 +2550,9 @@ def _q_corpus_mix(spark, sf_dir):
     from crawlspark.operators.mixing import corpus_mix_plan, source_token_stats
 
     d = _t(spark, sf_dir, "documents").select("source", "text")
-    stats = source_token_stats(d)
+    # checkpoint: the weights branch below is a second consumer of the
+    # rollup — without the barrier the corpus aggregates twice
+    stats = source_token_stats(d).localCheckpoint(eager=True)
     weights = stats.select(
         "source",
         (F.lit(100) + F.length("source") * 37 % 400).cast("long").alias("weight"),

@@ -248,8 +248,14 @@ def lsh_bucket_keepers(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     (streaming/lsh.py): a first-arrival-wins stream equals this rule
     exactly when docs arrive in id order. Use :func:`lsh_dedup_keepers`
     when you want verified (higher-precision) batch dedup; this rule
-    trades false drops for a verify-free single aggregate."""
+    trades false drops for a verify-free single aggregate.
+
+    Bands are localCheckpoint-materialized: the bucket-min aggregate
+    and the collision join are two consumers, and without the barrier
+    Catalyst re-runs the whole shingle→signature build per consumer
+    (the repo's multi-consumer scan trap)."""
     bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, k)
+    bands = bands.localCheckpoint(eager=True)
     bmin = bands.groupBy("band_idx", "band_key").agg(
         F.min(id_col).alias("__bmin")
     )

@@ -82,14 +82,36 @@ def admissible_links(
     nofollow_page, admissible)`` — one row per anchor tag carrying an
     href; ``admissible`` = neither the link nor the page says
     nofollow. Feed ``WHERE admissible`` into the crawl's link-admission
-    chain alongside the trap/blocklist guards."""
-    flags = robots_meta_flags(df, id_col, html_col)
+    chain alongside the trap/blocklist guards.
+
+    Meta directives and anchor tags are pulled in ONE staged projection
+    (the SQL twin's shape) — a join of robots_meta_flags against a
+    separate link scan would read the html column twice."""
     staged = df.select(
         F.col(id_col),
+        F.flatten(
+            F.transform(
+                F.filter(
+                    F.regexp_extract_all(F.col(html_col), F.lit(META_TAG_RE), F.lit(0)),
+                    lambda t: t.rlike(_NAME_ROBOTS_RE),
+                ),
+                lambda t: F.split(F.lower(F.regexp_extract(t, _CONTENT_RE, 1)), ","),
+            )
+        ).alias("__dirs"),
         F.regexp_extract_all(F.col(html_col), F.lit(A_TAG_RE), F.lit(0)).alias("__a"),
     )
-    links = staged.select(
+    d = F.transform(F.col("__dirs"), lambda s: F.trim(s))
+    flagged = staged.select(
         F.col(id_col),
+        (
+            F.exists(d, lambda s: s == "nofollow")
+            | F.exists(d, lambda s: s == "none")
+        ).alias("nofollow_page"),
+        "__a",
+    )
+    links = flagged.select(
+        F.col(id_col),
+        "nofollow_page",
         F.explode_outer(
             F.transform(
                 F.col("__a"),
@@ -100,17 +122,12 @@ def admissible_links(
             )
         ).alias("__l"),
     ).where(F.col("__l.href").isNotNull() & (F.col("__l.href") != ""))
-    return (
-        links.join(flags, id_col)
-        .select(
-            F.col(id_col),
-            F.col("__l.href").alias("href"),
-            F.col("__l.link_nofollow").alias("link_nofollow"),
-            "nofollow_page",
-            (~F.col("__l.link_nofollow") & ~F.col("nofollow_page")).alias(
-                "admissible"
-            ),
-        )
+    return links.select(
+        F.col(id_col),
+        F.col("__l.href").alias("href"),
+        F.col("__l.link_nofollow").alias("link_nofollow"),
+        "nofollow_page",
+        (~F.col("__l.link_nofollow") & ~F.col("nofollow_page")).alias("admissible"),
     )
 
 
