@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from crawlspark.operators.dedup import word_shingles
+from crawlspark.operators.dedup import shingles_of, word_shingles
 
 
 def shingle_hashes(text, k: int) -> "F.Column":
@@ -35,10 +35,25 @@ def shingle_hashes(text, k: int) -> "F.Column":
     15 hex chars of md5 — fits signed BIGINT in any engine, so the
     DuckDB twin ``CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)``
     matches Spark's ``conv(_, 16, 10)`` exactly with no unsigned
-    wraparound at either end)."""
+    wraparound at either end). Single-expression convenience form —
+    bulk consumers must stage the token array and use
+    :func:`shingle_hashes_of` (word_shingles' O(words²) inlined-split
+    caveat)."""
     return F.array_distinct(
         F.transform(
             word_shingles(text, k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+        )
+    )
+
+
+def shingle_hashes_of(w: "F.Column", k: int) -> "F.Column":
+    """:func:`shingle_hashes` over a PRE-STAGED token-array column —
+    the split() runs once per row instead of once per shingle (see
+    dedup.shingles_of)."""
+    return F.array_distinct(
+        F.transform(
+            shingles_of(w, k),
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
         )
     )
@@ -63,19 +78,21 @@ def decontaminate(
     so the caller can both filter (`NOT contaminated`) and audit the
     contamination rate in one pass."""
     bench_sh = (
-        benchmark.select(F.explode(shingle_hashes(F.col(bench_text_col), k)).alias("sh"))
+        benchmark.select(F.split(F.col(bench_text_col), " ").alias("__w"))
+        .select(F.explode(shingle_hashes_of(F.col("__w"), k)).alias("sh"))
         .distinct()
     )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
     doc_sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_hashes(F.col(text_col), k)).alias("sh"),
-    )
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__w")
+    ).select("id", F.explode(shingle_hashes_of(F.col("__w"), k)).alias("sh"))
     hits = doc_sh.join(bench_sh, "sh").groupBy("id").agg(F.count("*").alias("n_hit"))
     base = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(shingle_hashes(F.col(text_col), k)).cast("long").alias("n_shingles"),
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__w")
+    ).select(
+        "id",
+        F.size(shingle_hashes_of(F.col("__w"), k)).cast("long").alias("n_shingles"),
     )
     return (
         base.join(hits, "id", "left")

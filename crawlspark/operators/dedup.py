@@ -26,9 +26,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def shingles_of(w: Column, k: int = 3) -> Column:
+    """k-word shingles from a PRE-STAGED token-array column reference;
+    docs shorter than k words yield one shingle = the whole text
+    (``array_join(w, ' ')`` — split-then-join on the same separator is
+    the identity). The caller must project ``split(text, ' ')`` into
+    its own column first: the slice lambda references ``w`` per
+    element, so an inlined split() subtree re-splits the text once per
+    shingle — O(words²) string work per doc (the repo's HOF gotcha,
+    see lm._bigrams_of / textops.winnow_fingerprints). A staged
+    reference used >= 2 times survives CollapseProject and splits
+    once per row."""
+    return F.when(
+        F.size(w) < k,
+        F.array(F.array_join(w, " ")),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        )
+    )
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """k-word shingles as strings; docs shorter than k words yield one
-    shingle = the whole text."""
+    """k-word shingles as strings from a raw text column; docs shorter
+    than k words yield one shingle = the whole text. NOTE: only for
+    single-expression contexts (the array-expression signature path) —
+    the split() here is re-evaluated per shingle when inlined into the
+    transform lambda, so every EXPLODE-shaped consumer must stage the
+    token array and use :func:`shingles_of` instead."""
     w = F.split(text, " ")
     return F.when(
         F.size(w) < k,
@@ -72,10 +98,23 @@ def minhash_signature_agg(df: DataFrame, id_col: str = "doc_id", text_col: str =
     key bytes ~4x — the 100 TB configuration. Same LSH collision
     semantics (uniform hash, per-seed independence); the min lands on a
     different shingle, so pair sets differ statistically but identical
-    docs always collide under either."""
+    docs always collide under either.
+
+    (Measured dead end, r6: hashing once per DISTINCT shingle + join
+    back is exact but slower here — the extra explode + join machinery
+    costs more than the duplicate-occurrence hashes it saves, 17.1 s
+    vs 11.3 s at sf1.0 — so the per-occurrence min-agg stays.)"""
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
+    # explode_OUTER + null filter: plain explode triggers
+    # InferFiltersFromGenerate, cloning the whole shingle battery into
+    # a size()>0 pre-filter — one extra array build per row (lm.py's
+    # pattern); the arrays carry no null elements, so this is identical
+    sh = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+        .select(F.col(id_col), F.explode_outer(shingles_of(F.col("__w"), k)).alias("sh"))
+        .where(F.col("sh").isNotNull())
+    )
     if hash_fn == "md5":
         slots = [
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
@@ -165,9 +204,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     Computed by exploding distinct shingles and counting co-occurrences:
     |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|."""
     base = df if max_id is None else df.where(F.col(id_col) < max_id)
-    sh = base.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
+    sh = (
+        base.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+        .select(
+            F.col(id_col),
+            F.explode_outer(F.array_distinct(shingles_of(F.col("__w"), k))).alias("sh"),
+        )
+        .where(F.col("sh").isNotNull())
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
@@ -197,9 +240,13 @@ def ngram_jaccard_verify(df: DataFrame, pairs: DataFrame,
     shingle at all drop out (their Jaccard is 0 — below any positive
     threshold; LSH candidates always share a band, so in the composed
     pipeline this loses nothing)."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
+    sh = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+        .select(
+            F.col(id_col),
+            F.explode_outer(F.array_distinct(shingles_of(F.col("__w"), k))).alias("sh"),
+        )
+        .where(F.col("sh").isNotNull())
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "sh")

@@ -83,13 +83,25 @@ def mine_dust_rules(
     content_fp)`` observations: ``(host, param, n_pairs, n_agree,
     accepted)`` — one row per (host, param-key) candidate that had at
     least one probe pair; ``accepted`` = n_pairs >= min_support AND
-    n_agree == n_pairs (any fingerprint disagreement kills the rule)."""
+    n_agree == n_pairs (any fingerprint disagreement kills the rule).
+
+    Crawl logs observe the same (url, fingerprint) many times, and
+    every count below is a pure function of the (url, fp) pair — so
+    the stream is reduced to ``(url, fp, weight)`` FIRST (one map-side
+    -partial aggregate) and the parse → explode → probe-join pipeline
+    runs once per DISTINCT pair, ``n_pairs`` / ``n_agree`` summing the
+    weights. Identical output: min(fp) per canon is the same over the
+    distinct set, and each duplicate observation contributes exactly
+    its url's key-explosion rows. The deduped parse is checkpointed —
+    targets and probes are two consumers of the same tiny relation."""
     parsed = parse_url_params(
-        observed.select(F.col(url_col).alias("url"), F.col(fp_col).alias("fp")),
-    )
+        observed.select(F.col(url_col).alias("url"), F.col(fp_col).alias("fp"))
+        .groupBy("url", "fp")
+        .agg(F.count("*").alias("__w")),
+    ).localCheckpoint(eager=False)
     targets = parsed.groupBy("canon").agg(F.min("fp").alias("fp2"))
     keys = parsed.select(
-        "base", "host", "params", "fp",
+        "base", "host", "params", "fp", "__w",
         F.explode(
             F.array_distinct(
                 F.transform(F.col("params"), lambda p: F.substring_index(p, "=", 1))
@@ -102,7 +114,7 @@ def mine_dust_rules(
         lambda p: F.substring_index(p, "=", 1) != F.col("k"),
     )
     probes = keys.select(
-        "host", "k", "fp",
+        "host", "k", "fp", "__w",
         F.concat(
             F.col("base"),
             F.when(
@@ -115,8 +127,8 @@ def mine_dust_rules(
         targets, probes["cu_minus_k"] == targets["canon"], "inner"
     )
     agg = pairs.groupBy("host", F.col("k").alias("param")).agg(
-        F.count("*").alias("n_pairs"),
-        F.sum(F.when(F.col("fp") == F.col("fp2"), 1).otherwise(0)).alias("n_agree"),
+        F.sum("__w").alias("n_pairs"),
+        F.sum(F.when(F.col("fp") == F.col("fp2"), F.col("__w")).otherwise(0)).alias("n_agree"),
     )
     return agg.select(
         "host", "param",

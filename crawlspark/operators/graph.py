@@ -60,7 +60,13 @@ def pagerank_micro(
     leaks. Costs one extra tiny aggregate per round — a 1-row DataFrame
     cross-broadcast into the update, never a driver collect — plus one
     up-front node count."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # one materialization of the edge list: every round joins it, and
+    # nodes/deg below are two more consumers — without the barrier the
+    # caller's edge derivation (scan + union + distinct) re-runs per
+    # round (guide §5: localCheckpoint to cut multi-consumer lineage)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -188,7 +194,13 @@ def opic_micro(
     one contributions shuffle per round against static (src, out_deg)
     edges, state chained through localCheckpoint so plan depth is O(1).
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # one materialization of the edge list: every round joins it, and
+    # nodes/deg below are two more consumers — without the barrier the
+    # caller's edge derivation (scan + union + distinct) re-runs per
+    # round (guide §5: localCheckpoint to cut multi-consumer lineage)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

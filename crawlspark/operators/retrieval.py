@@ -82,28 +82,66 @@ def retrieve_topk(
     Repeated query terms count once (set semantics, the common engine
     default); ties broken by doc id ascending for determinism.
 
-    ``materialize`` localCheckpoints the postings: stats, doc
-    frequencies, and scoring are three consumers, and without a
-    materialization Catalyst re-runs the corpus explode+count once per
-    consumer (the repo's multi-consumer scan trap) — an index is built
-    once by definition. Callers that already persist a bucketed
-    postings table should score against that instead."""
-    postings = build_postings(docs, id_col, text_col)
-    if materialize:
-        postings = postings.localCheckpoint(eager=True)
-    stats = postings.groupBy().agg(
-        F.countDistinct("id").alias("n_docs"),
-        F.sum("tf").alias("s_tokens"),
-    )
-    dfreq = doc_frequencies(postings)
+    Scoring only ever reads postings whose term occurs in some query,
+    so the index is built FILTERED: corpus words explode into the
+    (id, term, tf) aggregate only after a broadcast semi-join against
+    the distinct query-term set — the corpus-wide posting rows for
+    non-query terms (the overwhelming majority) are never aggregated,
+    shuffled, or checkpointed (guide §2.3 "shuffle fewer bytes" /
+    §3.2 pre-filter-the-big-side). The corpus-wide constants the score
+    needs (n_docs, s_tokens, per-doc dl) don't need the explode at
+    all: dl = size of the row's non-empty token array, n_docs/s_tokens
+    one aggregate over those per-row sizes — this also removes the
+    dl window (one full extra shuffle+sort of the postings in the old
+    shape). Results are identical to scoring against the full index:
+    df/tf/dl/n_docs/s_tokens values are unchanged for every surviving
+    (query term, doc) pair.
+
+    ``materialize`` localCheckpoints the FILTERED postings (two
+    consumers: doc frequencies and scoring — without the barrier
+    Catalyst re-runs the explode per consumer). Callers that already
+    persist a bucketed full postings table should score against that
+    instead."""
+    # identical query texts produce identical scores and identical
+    # top-k (ties break on doc id, not query id) — score once per
+    # DISTINCT qtext and fan the result back out. Real query logs are
+    # heavy-tailed (a handful of texts dominate), so this cuts the
+    # (query x doc) score expansion by the duplication factor exactly.
+    qmap = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_text_col).alias("__qtext"),
+    ).localCheckpoint(eager=True)  # tiny; consumed by reps + fan-out join
+    reps = qmap.groupBy("__qtext").agg(F.min("query_id").alias("__rep"))
     qterms = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.explode(words_of(F.col(query_text_col))).alias("term"),
+        reps.select(
+            F.col("__rep").alias("query_id"),
+            F.explode(words_of(F.col("__qtext"))).alias("term"),
         )
         .where(F.col("term") != "")
         .distinct()
+        .localCheckpoint(eager=True)  # tiny; 3 consumers below
     )
+    terms = qterms.select("term").distinct()
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(words_of(F.col(text_col)), lambda w: w != "").alias("__w"),
+    )
+    # corpus constants from per-row token counts — no explode, no window
+    stats = toks.select(F.size("__w").alias("__dl")).agg(
+        F.count(F.when(F.col("__dl") > 0, 1)).alias("n_docs"),
+        F.sum("__dl").cast("long").alias("s_tokens"),
+    )
+    postings = (
+        toks.select("id", F.size("__w").alias("dl"), F.explode("__w").alias("term"))
+        .join(F.broadcast(terms), "term", "left_semi")
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+    )
+    if materialize:
+        postings = postings.localCheckpoint(eager=True)
+    # df over the whole corpus for query terms == df from the filtered
+    # postings (they hold every (id, term) pair for those terms)
+    dfreq = doc_frequencies(postings)
     scored = (
         postings.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
@@ -118,15 +156,27 @@ def retrieve_topk(
                 " DIV (10000 * tf + 3000 + 9 * ((1000 * dl * n_docs) DIV s_tokens))"
             ).cast("long").alias("c"),
         )
+        # one exchange serves both the score aggregation and the top-k
+        # window: hash-partitioning by query_id alone satisfies the
+        # (query_id, id) grouping (subset rule) AND the window's
+        # partitioning, so the candidate expansion crosses the wire
+        # once instead of twice (guide §2.4 "share one exchange")
+        .repartition(F.col("query_id"))
         .groupBy("query_id", "id")
         .agg(F.sum("c").cast("long").alias("score_micro"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_micro"), F.asc("id")
     )
-    return (
+    rep_top = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+        .withColumnRenamed("query_id", "__rep")
+    )
+    # fan the per-distinct-qtext results back out to every query id
+    return (
+        qmap.join(F.broadcast(reps), "__qtext")
+        .join(rep_top, "__rep")
         .select(
             "query_id",
             F.col("rank").cast("long").alias("rank"),
