@@ -1435,18 +1435,18 @@ def _pagerank_edges_spark(spark, sf_dir):
     n = d.groupBy().count().withColumnRenamed("count", "n")
     a = d.crossJoin(F.broadcast(n))
     # three pseudo-random outlinks + one Zipf-ish hub edge (doc_id % 97):
-    # hubs give the rank distribution real skew, like the web
-    edges = None
-    for mult, off in ((7, 1), (31, 2), (101, 3)):
-        e = a.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * mult + off) % F.col("n")).alias("dst"),
-        )
-        edges = e if edges is None else edges.unionByName(e)
-    hub = a.select(
-        F.col("doc_id").alias("src"), (F.col("doc_id") % 97).alias("dst")
+    # hubs give the rank distribution real skew, like the web. ONE scan:
+    # the four edge families explode from an array per row instead of a
+    # 4-branch union re-scanning documents per branch (r6); the distinct
+    # sees the same rows either way
+    dsts = F.array(
+        *[((F.col("doc_id") * mult + off) % F.col("n"))
+          for mult, off in ((7, 1), (31, 2), (101, 3))],
+        F.col("doc_id") % 97,
     )
-    return edges.unionByName(hub).distinct()
+    return a.select(
+        F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+    ).distinct()
 
 
 _PAGERANK_EDGES_SQL = """
@@ -2366,11 +2366,19 @@ def _q_oov_bigram_share(spark, sf_dir):
     even-doc_id half of the corpus (lm.bigram_counts +
     lm.oov_bigram_share) — the exact-integer backbone of perplexity
     filtering."""
-    from crawlspark.operators.lm import bigram_counts, oov_bigram_share
+    from crawlspark.operators.lm import doc_bigrams, oov_bigram_share
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ref = bigram_counts(d.where(F.col("doc_id") % 2 == 0))
-    return oov_bigram_share(d, ref)
+    # ONE corpus bigram explode shared by the reference fit and the
+    # scoring pass (r6; the separate bigram_counts call re-ran it);
+    # the even-doc_id restriction moves to a filter over the shared
+    # relation — identical counts
+    grams = doc_bigrams(d).localCheckpoint(eager=True)
+    ref = (
+        grams.where((F.col("id") % 2 == 0) & F.col("bigram").isNotNull())
+        .groupBy("bigram").agg(F.count("*").alias("n"))
+    )
+    return oov_bigram_share(d, ref, grams=grams)
 
 
 _register("oov_bigram_share", _q_oov_bigram_share, None)
@@ -2406,11 +2414,17 @@ def _q_ccnet_buckets(spark, sf_dir):
     per-language exact-thirds cut on the OOV-bigram quality score from
     `oov_bigram_share` (reference LM = even-doc_id half). The standard
     corpus-quality stratification CCNet publishes and trains on."""
-    from crawlspark.operators.lm import bigram_counts, ccnet_buckets, oov_bigram_share
+    from crawlspark.operators.lm import ccnet_buckets, doc_bigrams, oov_bigram_share
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    ref = bigram_counts(d.where(F.col("doc_id") % 2 == 0))
-    scored = oov_bigram_share(d.select("doc_id", "text"), ref).join(
+    # shared checkpointed gram relation: reference fit + scoring were
+    # two full corpus explodes (r6); identical counts either way
+    grams = doc_bigrams(d.select("doc_id", "text")).localCheckpoint(eager=True)
+    ref = (
+        grams.where((F.col("id") % 2 == 0) & F.col("bigram").isNotNull())
+        .groupBy("bigram").agg(F.count("*").alias("n"))
+    )
+    scored = oov_bigram_share(d.select("doc_id", "text"), ref, grams=grams).join(
         d.select("doc_id", "lang"), "doc_id"
     )
     return ccnet_buckets(scored)
@@ -2812,9 +2826,22 @@ def _q_recrawl_schedule(spark, sf_dir):
     fp = F.when(k % 7 == 0, F.lit("static")).otherwise(
         F.md5(F.concat(url, F.lit("#"), bucket.cast("string")))
     )
-    visits = ev.select(
-        url.alias("url"), F.col("ts").alias("fetch_ts"), fp.alias("content_fp")
-    ).distinct()
+    # distinct over the NARROW derivation key first: url and content_fp
+    # are injective functions of (k, ts), so distinct (k, ts) == distinct
+    # (url, ts, fp) — the dedup exchange carries two ints instead of
+    # url + 32-char fp strings, and the md5 runs only on survivors
+    # (guide §2.3). The synthesized columns are built post-distinct.
+    kd = ev.select(k.alias("__k"), F.col("ts").alias("fetch_ts")).distinct()
+    k = F.col("__k")
+    url = F.concat(F.lit("u"), k.cast("string"))
+    bucket_days = (F.lit(1) + (k % 5) * 2).cast("long")
+    bucket = F.floor(
+        F.unix_timestamp("fetch_ts") / (bucket_days * 86400)
+    ).cast("long")
+    fp = F.when(k % 7 == 0, F.lit("static")).otherwise(
+        F.md5(F.concat(url, F.lit("#"), bucket.cast("string")))
+    )
+    visits = kd.select(url.alias("url"), "fetch_ts", fp.alias("content_fp"))
     stats = change_history_stats(visits)
     # carry= instead of re-joining onto stats: the url self-join
     # recomputed the whole visit-log aggregation on both branches
@@ -2952,15 +2979,17 @@ def _q_anchor_text(spark, sf_dir):
     # the tie-break) drive the rank; the % 97 hub edge gives dsts < 97
     # web-like indegree skew, same shape as the pagerank graph
     anchor = F.element_at(F.split("text", " "), (F.col("doc_id") % 4 + 1).cast("int"))
-    edges = None
-    for mult, off in ((7, 1), (31, 2), (101, 3)):
-        e = a.select(
-            ((F.col("doc_id") * mult + off) % F.col("n")).alias("dst"),
-            anchor.alias("anchor"),
-        )
-        edges = e if edges is None else edges.unionByName(e)
-    hub = a.select((F.col("doc_id") % 97).alias("dst"), anchor.alias("anchor"))
-    return aggregate_anchor_text(edges.unionByName(hub), k_top=3, salt=4)
+    # ONE corpus scan: the four edge families explode from an array per
+    # row instead of a 4-branch union that re-scanned documents (and
+    # re-evaluated the anchor split) per branch — same rows, and the
+    # downstream aggregation is order-insensitive (r6)
+    dsts = F.array(
+        *[((F.col("doc_id") * mult + off) % F.col("n"))
+          for mult, off in ((7, 1), (31, 2), (101, 3))],
+        F.col("doc_id") % 97,
+    )
+    edges = a.select(F.explode(dsts).alias("dst"), anchor.alias("anchor"))
+    return aggregate_anchor_text(edges, k_top=3, salt=4)
 
 
 def _anchor_tail_oracle() -> str:
@@ -3321,16 +3350,13 @@ _TAIL_ORACLES["host_curation"] = host_curation_stats_sql(
 # distributions, score every doc by the summed Laplace micro-ratio of
 # its buckets, select top-100 per-gram. operators/dsir.py.
 def _q_dsir_select(spark, sf_dir):
-    from crawlspark.operators.dsir import (
-        bucket_scores_pair, dsir_select, dsir_weights, hashed_bigram_fit_pair,
-    )
+    from crawlspark.operators.dsir import dsir_pair_weights, dsir_select
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    # single-pass pair fit: target is a predicate subset of the pool, so
-    # both distributions come from one explode+agg (plan audit: two
-    # hashed_bigram_fit calls each re-ran the full gram pass)
-    pair = hashed_bigram_fit_pair(d, F.col("lang") == "en")
-    w = dsir_weights(d, bucket_scores_pair(pair))
+    # one bucketed-gram pass feeds BOTH the pair fit and the per-doc
+    # weights (r6: the fit_pair + dsir_weights composition exploded and
+    # hashed the corpus bigrams twice); values are bit-identical
+    w = dsir_pair_weights(d, F.col("lang") == "en")
     return dsir_select(w, k=100)
 
 

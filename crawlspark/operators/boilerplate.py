@@ -81,26 +81,37 @@ def split_blocks(df: DataFrame, html_col: str = "html", id_col: str = "doc_id") 
     )
 
 
-def _block_features(raw: Column) -> list[Column]:
-    """text / n_chars / n_words / link chars / stop hits for one raw
-    block segment. Each HOF lambda closes only over its own element."""
-    text = F.trim(F.regexp_replace(raw, TAG_RE, ""))
+def _block_features(df: DataFrame) -> DataFrame:
+    """Adds block_text / n_chars / n_words / __link_chars /
+    __stop_hits to a ``(…, raw)`` relation. The tag strip and the
+    whitespace split are STAGED into their own projections (each is
+    referenced by several feature columns, so an inlined expression
+    re-runs the regexp per consuming column — the repo's
+    CollapseProject staging rule); each HOF lambda closes only over
+    its own element."""
+    raw = F.col("raw")
     link_chars = F.aggregate(
         F.regexp_extract_all(raw, F.lit(ANCHOR_RE), 1),
         F.lit(0),
         lambda acc, x: acc + F.length(x),
     )
-    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
-    stop_hits = F.size(
-        F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS))
-    )
-    return [
-        text.alias("block_text"),
-        F.length(text).alias("n_chars"),
-        F.size(words).alias("n_words"),
+    staged_text = df.select(
+        "*",
+        F.trim(F.regexp_replace(raw, TAG_RE, "")).alias("block_text"),
         link_chars.alias("__link_chars"),
-        stop_hits.alias("__stop_hits"),
-    ]
+    )
+    staged_words = staged_text.select(
+        "*",
+        F.filter(F.split(F.col("block_text"), r"\s+"), lambda w: w != "").alias("__words"),
+    )
+    return staged_words.select(
+        "*",
+        F.length("block_text").alias("n_chars"),
+        F.size("__words").alias("n_words"),
+        F.size(
+            F.filter(F.col("__words"), lambda w: F.lower(w).isin(*STOPWORDS))
+        ).alias("__stop_hits"),
+    ).drop("__words")
 
 
 def classify_blocks(
@@ -117,11 +128,9 @@ def classify_blocks(
     n_chars, n_words, link_density_micro, stop_density_micro, label_cf,
     label)`` with ``label`` the context-corrected one. Blocks that strip
     to empty text are dropped (tag-only segments between block tags)."""
-    feats = (
-        split_blocks(df, html_col, id_col)
-        .select("id", "block_idx", "raw", *_block_features(F.col("raw")))
-        .where(F.col("n_chars") > 0)
-    )
+    feats = _block_features(
+        split_blocks(df, html_col, id_col).select("id", "block_idx", "raw")
+    ).where(F.col("n_chars") > 0)
     link_density = F.floor(F.col("__link_chars") * MICRO / F.col("n_chars")).cast("long")
     stop_density = F.when(
         F.col("n_words") > 0,

@@ -84,16 +84,18 @@ def decontaminate(
     )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
-    doc_sh = docs.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__w")
-    ).select("id", F.explode(shingle_hashes_of(F.col("__w"), k)).alias("sh"))
-    hits = doc_sh.join(bench_sh, "sh").groupBy("id").agg(F.count("*").alias("n_hit"))
-    base = docs.select(
+    # ONE shingle-hash build per doc, checkpointed: the hit count and
+    # the n_shingles audit column are two consumers, and the k-word
+    # string assembly + md5 per shingle is the operator's dominant cost
+    # — without the barrier it runs once per consumer
+    hsh = docs.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__w")
     ).select(
-        "id",
-        F.size(shingle_hashes_of(F.col("__w"), k)).cast("long").alias("n_shingles"),
-    )
+        "id", shingle_hashes_of(F.col("__w"), k).alias("__sh")
+    ).localCheckpoint(eager=False)
+    doc_sh = hsh.select("id", F.explode("__sh").alias("sh"))
+    hits = doc_sh.join(bench_sh, "sh").groupBy("id").agg(F.count("*").alias("n_hit"))
+    base = hsh.select("id", F.size("__sh").cast("long").alias("n_shingles"))
     return (
         base.join(hits, "id", "left")
         .select(

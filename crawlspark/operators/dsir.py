@@ -164,6 +164,55 @@ def dsir_weights(
     )
 
 
+def dsir_pair_weights(
+    docs: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Fit + score + weigh from ONE bucketed-gram pass — output is
+    bit-identical to ``dsir_weights(docs,
+    bucket_scores_pair(hashed_bigram_fit_pair(docs, target_filter)))``
+    but the corpus bigrams are exploded, hashed, and bucketed ONCE: the
+    narrow ``(id, is_target, bucket)`` relation is localCheckpointed
+    and consumed by both the per-bucket fit and the per-doc weight
+    aggregate (the two-call composition ran the full gram pass twice —
+    two corpus reads and 2x the md5/conv work at 100 TB)."""
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        target_filter.alias("__is_t"),
+        words_of(text_col).alias("__w"),
+    ).select("id", "__is_t", F.explode_outer(_bigrams_of(F.col("__w"))).alias("g"))
+    r = grams.select(
+        "id", "__is_t",
+        F.when(F.col("g").isNotNull(), _bucket(F.col("g"), n_buckets)).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    pair = (
+        r.where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(
+            F.count(F.when(F.col("__is_t"), 1)).alias("cnt_target"),
+            F.count("*").alias("cnt_raw"),
+        )
+    )
+    scores = bucket_scores_pair(pair)
+    agg = r.join(F.broadcast(scores), "bucket", "left").groupBy("id").agg(
+        F.count("bucket").alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("bucket").isNotNull(), F.coalesce(F.col("s"), F.lit(MICRO)))
+        ).alias("weight"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("weight").cast("long").alias("weight"),
+        F.when(
+            F.col("n_bigrams") > 0, F.expr("weight div n_bigrams")
+        ).cast("long").alias("w_per_gram_micro"),
+    )
+
+
 def dsir_select(
     weights: DataFrame, k: int, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -70,9 +70,12 @@ def curation_funnel(
     keep_lang, keep_length, keep_top_token, keep_exact_dup,
     keep_decontam, first_kill, kept)`` with ``first_kill`` the first
     failing stage name (NULL for survivors)."""
+    # content key computed BEFORE the dedup window so the exchange
+    # carries (id, 32-char hash, bools) — not the document text
+    # (guide §2.3: shuffle keys and metadata instead of payloads)
     base = docs.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("__text"),
+        F.md5(text_col).alias("__h"),
         (F.col(lang_col) == lang).alias("keep_lang"),
         token_count(text_col).alias("n_words"),
     )
@@ -81,10 +84,10 @@ def curation_funnel(
         (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
     )
     # corpus-wide exact dedup, min-id keeper: one window on the content key
-    dupw = Window.partitionBy(F.md5("__text"))
+    dupw = Window.partitionBy("__h")
     base = base.withColumn(
         "keep_exact_dup", F.col("id") == F.min("id").over(dupw)
-    ).drop("__text")
+    ).drop("__h")
     top = top_token_fraction(docs, id_col=id_col, text_col=text_col).select(
         F.col(id_col).alias("id"), "top_token_micro"
     )
@@ -117,11 +120,15 @@ def funnel_summary(funnel: DataFrame) -> DataFrame:
     killed)`` in stage order, plus a final ``survivors`` row. ``reached``
     = docs still alive entering the stage; per-stage ``killed`` sums to
     total - survivors by construction (first-kill attribution)."""
-    total = funnel.count()
+    # ONE action over the composed funnel plan: survivors land in the
+    # NULL first_kill group, so total = sum of all group counts — the
+    # separate count() was a second full evaluation of the unmaterialized
+    # funnel (dedup window + repetition aggregate + decontam join)
     kills = {
         r["first_kill"]: r["n"]
         for r in funnel.groupBy("first_kill").agg(F.count("*").alias("n")).collect()
     }
+    total = sum(kills.values())
     rows = []
     alive = total
     for i, s in enumerate(STAGES):

@@ -67,12 +67,27 @@ def bigram_counts(
     )
 
 
+def doc_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, bigram)`` — one row per bigram occurrence, plus one
+    NULL-bigram row for docs with < 2 tokens (explode_outer, so every
+    doc stays representable downstream). The shared gram relation:
+    callers composing a reference fit AND a scoring pass over the same
+    corpus should build this once (and localCheckpoint it) instead of
+    paying the explode per consumer."""
+    return docs.select(
+        F.col(id_col).alias("id"), words_of(text_col).alias("__w")
+    ).select("id", F.explode_outer(_bigrams_of(F.col("__w"))).alias("bigram"))
+
+
 def oov_bigram_share(
     docs: DataFrame,
     ref_counts: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_ref_count: int = 1,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document out-of-vocabulary bigram share vs a reference LM:
     ``(id, n_bigrams, n_oov, oov_micro)`` where ``oov_micro =
@@ -80,10 +95,11 @@ def oov_bigram_share(
     1-token docs score 0 OOV over 0 bigrams → oov_micro NULL so the
     caller can't mistake "no evidence" for "perfect"). A bigram is
     in-vocabulary when the reference saw it >= ``min_ref_count`` times
-    (raise to ignore reference hapaxes)."""
-    grams = docs.select(
-        F.col(id_col).alias("id"), words_of(text_col).alias("__w")
-    ).select("id", F.explode_outer(_bigrams_of(F.col("__w"))).alias("bigram"))
+    (raise to ignore reference hapaxes). Pass a pre-built (and ideally
+    checkpointed) ``grams`` relation (:func:`doc_bigrams`) to share the
+    corpus explode with other consumers (e.g. the reference fit)."""
+    if grams is None:
+        grams = doc_bigrams(docs, id_col, text_col)
     ref = ref_counts.where(F.col("n") >= min_ref_count).select(
         "bigram", F.lit(True).alias("__in_ref")
     )

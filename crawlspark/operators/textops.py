@@ -322,18 +322,27 @@ def simhash64_udf(s: pd.Series) -> pd.Series:
 
 
 def simhash64_agg(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """DataFrame-level 64-bit simhash: explode tokens, hash each token
-    ONCE, then 64 conditional sums in one map-side-partial aggregate.
-    Same result as ``simhash64``; the scale-right shape (one shuffle of
-    (id, 64 ints), never the texts)."""
+    """DataFrame-level 64-bit simhash. Same result as ``simhash64``,
+    computed from per-(doc, token) COUNTS instead of per occurrence:
+    sum over occurrences of ±1 == sum over distinct tokens of
+    ±count, so the md5 and the 64 bit-vote sums run once per distinct
+    (doc, token) — on natural text a small fraction of the token
+    stream. The exploded stream is repartitioned by doc id up front:
+    hash-partitioning on the id subset satisfies both the (id, token)
+    count and the per-id bit-vote grouping, so the token count, the
+    hash, and the 64 sums all ride ONE exchange of narrow (id, token)
+    rows (guide §2.4) — never the texts."""
     w = (
         df.select(F.col(id_col), F.explode(words_of(F.col(text_col))).alias("t"))
+        .repartition(F.col(id_col))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("__c"))
         .withColumn("h", F.md5("t"))
     )
     nib = [_nibble_val(F.substring("h", i + 1, 1)) for i in range(16)]
     aggs = [
         F.sum(
-            F.when(F.shiftright(nib[b >> 2], b & 3) % 2 == 1, 1).otherwise(-1)
+            ((F.shiftright(nib[b >> 2], b & 3) % 2) * 2 - 1) * F.col("__c")
         ).alias(f"w{b}")
         for b in range(64)
     ]
