@@ -46,8 +46,9 @@ from pyspark.sql import functions as F
 from crawlspark.operators.decontam import decontaminate, decontaminate_sql
 from crawlspark.operators.textops import (
     token_count,
-    top_token_fraction,
     top_token_fraction_sql,
+    top_token_micro_of,
+    words_of,
 )
 
 STAGES = ("lang", "length", "top_token", "exact_dup", "decontam")
@@ -70,14 +71,22 @@ def curation_funnel(
     keep_lang, keep_length, keep_top_token, keep_exact_dup,
     keep_decontam, first_kill, kept)`` with ``first_kill`` the first
     failing stage name (NULL for survivors)."""
-    # content key computed BEFORE the dedup window so the exchange
-    # carries (id, 32-char hash, bools) — not the document text
-    # (guide §2.3: shuffle keys and metadata instead of payloads)
+    # ONE corpus scan for every per-row stage signal: content key,
+    # lang/length gates, and the repetition share (the within-row
+    # top_token_micro_of fold — it used to be a separate scan + explode
+    # + join). The dedup window then shuffles (id, 32-char hash, bools,
+    # ints) — never the document text (guide §2.3). NULL-text docs drop
+    # here exactly as the old inner join against the repetition relation
+    # dropped them.
     base = docs.select(
         F.col(id_col).alias("id"),
         F.md5(text_col).alias("__h"),
         (F.col(lang_col) == lang).alias("keep_lang"),
         token_count(text_col).alias("n_words"),
+        words_of(F.col(text_col)).alias("__w"),
+    ).where(F.col("__w").isNotNull()).select(
+        "id", "__h", "keep_lang", "n_words",
+        top_token_micro_of(F.col("__w")).alias("top_token_micro"),
     )
     base = base.withColumn(
         "keep_length",
@@ -88,13 +97,10 @@ def curation_funnel(
     base = base.withColumn(
         "keep_exact_dup", F.col("id") == F.min("id").over(dupw)
     ).drop("__h")
-    top = top_token_fraction(docs, id_col=id_col, text_col=text_col).select(
-        F.col(id_col).alias("id"), "top_token_micro"
-    )
     dec = decontaminate(
         docs, benchmark, k=k_shingle, id_col=id_col, text_col=text_col
     ).select(F.col(id_col).alias("id"), "contaminated")
-    j = base.join(top, "id").join(dec, "id")
+    j = base.join(dec, "id")
     j = j.withColumn(
         "keep_top_token", F.col("top_token_micro") <= max_top_token_micro
     ).withColumn("keep_decontam", ~F.col("contaminated"))

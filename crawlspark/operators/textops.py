@@ -451,19 +451,52 @@ def top_token_fraction(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Dominant-token share per document: (id, top_token_micro) =
-    floor(max token count · 10⁶ / total tokens). The explode + two-level
-    aggregate shape — both aggregates get map-side partials and shuffle
-    only (id, token, count) rows, never the texts; at 100 TB this is the
-    same scale path as the dedup signature builds."""
-    w = df.select(
-        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("t")
-    ).groupBy(id_col, "t").agg(F.count("*").alias("c"))
+    floor(max token count · 10⁶ / total tokens). Computed WITHIN the
+    row (r6): the max token count is the longest equal-run of the
+    SORTED token array, folded by one `aggregate` HOF — zero shuffles
+    and zero exploded rows, vs the old explode + two-level aggregate
+    that exchanged every (id, token, count) row. Values unchanged: the
+    run-length max over the sorted array IS the per-token occurrence
+    max, total = array size, and the final floor(double-division)
+    expression is identical."""
+    w = F.col("__w")
     return (
-        w.groupBy(id_col)
-        .agg(
-            F.floor(F.max("c") * 1_000_000 / F.sum("c")).cast("long").alias("top_token_micro")
-        )
+        df.select(F.col(id_col), words_of(F.col(text_col)).alias("__w"))
+        # NULL text produced no exploded rows in the old shape — keep
+        # those docs absent from the output here too
+        .where(w.isNotNull())
+        .select(F.col(id_col), top_token_micro_of(w).alias("top_token_micro"))
     )
+
+
+def top_token_micro_of(w: Column) -> Column:
+    """floor(max token count · 10⁶ / total tokens) as one expression
+    over a PRE-STAGED token-array column (the caller projects
+    ``words_of(text)`` first — see dedup.shingles_of for the staging
+    rule). Max token count = longest equal-run of the sorted array,
+    folded by one `aggregate` HOF. Fold state: (prev token, current
+    run, best run); tokens are never null (split() output), so prev IS
+    NULL marks only the first element."""
+    best = F.aggregate(
+        F.array_sort(w),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc.prev.isNotNull() & (acc.prev == x), acc.run + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(acc.prev.isNotNull() & (acc.prev == x), acc.run + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return F.floor(best * 1_000_000 / F.size(w)).cast("long")
 
 
 def top_token_fraction_sql(

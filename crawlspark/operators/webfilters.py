@@ -111,18 +111,29 @@ def c4_line_filter(
             ok = ok & ~_word_contains(trimmed, w)
         return ok
 
-    kept = F.filter(lines, line_ok)
+    # line array and survivor array STAGED in their own projections:
+    # inlined, the filter battery (trim + word split + blockword scan
+    # per line) re-runs for each of its three consumers (n_kept,
+    # kept_text, keep) — the repo's CollapseProject staging rule
     doc_ok = F.lit(True)
     for phrase in doc_blocklist:
-        doc_ok = doc_ok & ~F.contains(F.lower(text), F.lit(phrase.lower()))
-    out = df.select(
-        F.col(id_col),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.array_join(kept, "\n").alias("kept_text"),
-        ((F.size(kept) >= min_kept_lines) & doc_ok).alias("keep"),
+        doc_ok = doc_ok & ~F.contains(F.col("__lt"), F.lit(phrase.lower()))
+    return (
+        df.select(
+            F.col(id_col), lines.alias("__lines"), F.lower(text).alias("__lt")
+        )
+        .select(
+            F.col(id_col), "__lines", "__lt",
+            F.filter(F.col("__lines"), line_ok).alias("__kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__lines").cast("long").alias("n_lines"),
+            F.size("__kept").cast("long").alias("n_kept"),
+            F.array_join(F.col("__kept"), "\n").alias("kept_text"),
+            ((F.size("__kept") >= min_kept_lines) & doc_ok).alias("keep"),
+        )
     )
-    return out
 
 
 def gopher_quality_flags(
@@ -156,18 +167,23 @@ def gopher_quality_flags(
 
     Scale: per-row expressions only, no UDF, no shuffle.
     """
+    # words/lines arrays and n_words STAGED in their own projections —
+    # each is referenced by several measurement columns, and inlined
+    # expressions re-split the text once per consuming column (the
+    # repo's CollapseProject staging rule)
     text = _col(text_col)
-    words = F.split(text, " ")
-    n_words = F.size(words).cast("long")
+    t = F.col("__t")
+    w = F.col("__words")
+    ls = F.col("__lines")
+    n_words = F.col("n_words")
     # chars excluding the single-space separators (split convention)
-    word_chars = F.length(text) - (n_words - 1)
+    word_chars = F.length(t) - (n_words - 1)
     mean_wl_micro = F.floor(word_chars * MICRO / n_words).cast("long")
 
-    n_symbols = _count_substr(text, "#") + _count_substr(text, "...")
+    n_symbols = _count_substr(t, "#") + _count_substr(t, "...")
     symbol_micro = F.floor(n_symbols * MICRO / n_words).cast("long")
 
-    lines = F.split(text, "\n")
-    n_lines = F.size(lines).cast("long")
+    n_lines = F.size(ls).cast("long")
 
     def starts_bullet(line: Column) -> Column:
         t = F.trim(line)
@@ -176,29 +192,39 @@ def gopher_quality_flags(
     def ends_ellipsis(line: Column) -> Column:
         return F.endswith(F.trim(line), F.lit("..."))
 
-    n_bullet = F.size(F.filter(lines, starts_bullet)).cast("long")
-    n_ellipsis = F.size(F.filter(lines, ends_ellipsis)).cast("long")
+    n_bullet = F.size(F.filter(ls, starts_bullet)).cast("long")
+    n_ellipsis = F.size(F.filter(ls, ends_ellipsis)).cast("long")
     bullet_micro = F.floor(n_bullet * MICRO / n_lines).cast("long")
     ellipsis_micro = F.floor(n_ellipsis * MICRO / n_lines).cast("long")
 
     n_alpha = F.size(
-        F.filter(words, lambda w: F.regexp_like(w, F.lit("[A-Za-z]")))
+        F.filter(w, lambda x: F.regexp_like(x, F.lit("[A-Za-z]")))
     ).cast("long")
     alpha_micro = F.floor(n_alpha * MICRO / n_words).cast("long")
 
     stop_hits = sum(
-        (_word_contains(text, w).cast("long") for w in stopwords), F.lit(0)
+        (_word_contains(t, s).cast("long") for s in stopwords), F.lit(0)
     ).cast("long")
 
-    flags = df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_wl_micro.alias("mean_word_len_micro"),
-        symbol_micro.alias("symbol_ratio_micro"),
-        bullet_micro.alias("bullet_line_frac_micro"),
-        ellipsis_micro.alias("ellipsis_line_frac_micro"),
-        alpha_micro.alias("alpha_word_frac_micro"),
-        stop_hits.alias("stop_hits"),
+    flags = (
+        df.select(
+            F.col(id_col), text.alias("__t"),
+            F.split(text, " ").alias("__words"), F.split(text, "\n").alias("__lines"),
+        )
+        .select(
+            F.col(id_col), "__t", "__words", "__lines",
+            F.size("__words").cast("long").alias("n_words"),
+        )
+        .select(
+            F.col(id_col),
+            "n_words",
+            mean_wl_micro.alias("mean_word_len_micro"),
+            symbol_micro.alias("symbol_ratio_micro"),
+            bullet_micro.alias("bullet_line_frac_micro"),
+            ellipsis_micro.alias("ellipsis_line_frac_micro"),
+            alpha_micro.alias("alpha_word_frac_micro"),
+            stop_hits.alias("stop_hits"),
+        )
     )
     return flags.withColumn(
         "keep",
