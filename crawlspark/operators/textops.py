@@ -162,7 +162,11 @@ def winnow_fingerprints(
     array_min), no UDF, no shuffle; docs shorter than ``k`` contribute
     their single whole-text gram.
     """
-    c = F.lower(F.col(text_col))
+    # the lowered text is staged too (r6): the gram lambda references it
+    # per element, and an inlined lower() re-copies the whole text once
+    # per gram — O(chars²) per row (same CollapseProject staging rule
+    # as __grams below)
+    c = F.col("__lc")
     n_grams = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n_grams), lambda i: F.md5(F.substring(c, i, k))
@@ -176,8 +180,10 @@ def winnow_fingerprints(
     sels = F.transform(
         F.sequence(F.lit(1), n_wins), lambda j: F.array_min(F.slice(g, j, w))
     )
-    return df.select(F.col(id_col), grams.alias("__grams")).select(
-        F.col(id_col), F.explode(F.array_distinct(sels)).alias("fp")
+    return (
+        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lc"))
+        .select(F.col(id_col), grams.alias("__grams"))
+        .select(F.col(id_col), F.explode(F.array_distinct(sels)).alias("fp"))
     )
 
 
