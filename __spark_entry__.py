@@ -961,10 +961,20 @@ _register(
 
 
 def _q_lang_id(spark, sf_dir):
-    from crawlspark.operators.textops import lang_id
+    from crawlspark.operators.textops import lang_pred_from_scores, lang_scores
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    # per-language marker counts STAGED once (r6): the argmax CASE
+    # references each score up to 6x, and inlined each reference
+    # re-ran the 4-replace occurrence battery over the text
+    scored = docs.select(
+        "doc_id",
+        *[c.alias(f"__s_{lang}") for lang, c in lang_scores(F.col("text")).items()],
+    )
+    pred = lang_pred_from_scores(
+        {lang: F.col(f"__s_{lang}") for lang in lang_scores(F.col("text"))}
+    )
+    return scored.select("doc_id", pred.alias("lang_pred"))
 
 
 def _duck_occ(word: str) -> str:
@@ -1021,14 +1031,31 @@ _ntok_sql = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
 
 
 def _q_quality_score(spark, sf_dir):
-    from crawlspark.operators.textops import quality_micro, stop_ratio_micro, token_count
+    from crawlspark.operators.textops import STOPWORDS, occurrences, token_count
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # stopword-hit and token counts STAGED once (r6): stop_ratio_micro
+    # and quality_micro each re-ran the 8-replace occurrence battery
+    # (and the token count) when built as independent expressions; the
+    # formulas below are textops.stop_ratio_micro / quality_micro
+    # verbatim over the staged columns — identical integers
+    staged = docs.select(
         "doc_id",
+        F.length("text").alias("__len"),
         token_count("text").alias("n_tokens"),
-        stop_ratio_micro("text").alias("stop_ratio_micro"),
-        quality_micro("text").alias("quality_micro"),
+        sum((occurrences("text", w) for w in STOPWORDS), F.lit(0)).alias("__hits"),
+    )
+    n_tok, hits = F.col("n_tokens"), F.col("__hits")
+    chars = F.col("__len") - (n_tok - 1)
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(hits * 1_000_000 / n_tok).cast("long").alias("stop_ratio_micro"),
+        (
+            F.least(n_tok, F.lit(400)) * 1250
+            + F.least(F.floor(chars * 37_500 / n_tok), F.lit(300_000))
+            + F.least(F.floor(hits * 1_000_000 / n_tok), F.lit(200_000))
+        ).cast("long").alias("quality_micro"),
     )
 
 

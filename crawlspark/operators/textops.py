@@ -51,9 +51,12 @@ BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 def token_count_bpe(text: Column | str) -> Column:
     """Subword-ish token count via the BPE pre-tokenizer regex — the
     training-cost estimator (whitespace ``token_count`` underestimates
-    code/punctuation-heavy docs). Pure JVM regexp, no UDF."""
+    code/punctuation-heavy docs). Pure JVM regexp, no UDF.
+    ``regexp_count`` (r6) walks the same Matcher.find() loop as
+    ``size(regexp_extract_all(...))`` — identical counts — without
+    materializing an array of every matched token per row."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE)).cast("long")
 
 
 def occurrences(text: Column | str, token: str) -> Column:
@@ -116,10 +119,14 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     }
 
 
-def lang_id(text: Column | str) -> Column:
-    """Argmax of marker-word counts with a fixed tie-break order
-    (en > de > fr > es) — deterministic and SQL-portable as a CASE."""
-    s = lang_scores(text)
+def lang_pred_from_scores(s: dict[str, Column]) -> Column:
+    """Argmax of the per-language marker counts with the fixed
+    tie-break order (en > de > fr > es) — deterministic and
+    SQL-portable as a CASE. Each score column is referenced up to
+    2·(#langs−1) times by the CASE ladder, so bulk callers should
+    STAGE the scores in their own projection first (the 16-replace
+    occurrence battery otherwise re-runs per reference — the repo's
+    CollapseProject staging rule) and pass ``F.col`` references here."""
     langs = list(LANG_MARKERS)
     expr = F.lit(langs[-1])
     for lang in reversed(langs[:-1]):
@@ -131,6 +138,12 @@ def lang_id(text: Column | str) -> Column:
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, lang).otherwise(expr)
     return expr
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax of marker-word counts — single-expression convenience
+    form; see :func:`lang_pred_from_scores` for the staged bulk path."""
+    return lang_pred_from_scores(lang_scores(text))
 
 
 def fingerprint(text: Column | str) -> Column:
