@@ -48,8 +48,17 @@ MOJIBAKE: dict[str, str] = {
     for cp in _REPAIR_CODEPOINTS
 }
 
-# order-independence of the replace chain requires no artifact to
-# contain another
+# No artifact contains another (checked below) — but that alone does
+# NOT make the replace chain order-independent: an earlier replace can
+# SYNTHESIZE a later artifact from adjacent fragments. Verified case:
+# 'â€' + 'â€œ' → the 'â€œ'→'“' replace leaves 'â€' adjacent to the
+# result? no — it yields 'â€“', which the 0x2013 ('–') rule then
+# consumes, so 'â€â€œ' repairs to '–' and n_mojibake (counted on the
+# ORIGINAL text via the alternation) can disagree with the number of
+# replacements actually applied. The chain order is therefore part of
+# the operator's contract (the DuckDB twin runs the identical chain in
+# the identical order); reordering MOJIBAKE would change results on
+# adversarial fragment-adjacent inputs.
 assert not any(
     a != b and a in b for a in MOJIBAKE for b in MOJIBAKE
 ), "mojibake artifacts must not nest"
