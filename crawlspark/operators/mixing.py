@@ -62,7 +62,15 @@ def corpus_mix_plan(
     appear, with alloc 0, so the plan accounts for the whole corpus).
     int64 headroom: target * w_i must fit — keep weights in micro-units
     and targets in tokens (1e6 * 1e12 is the edge; normalize weights
-    down if both are huge)."""
+    down if both are huge).
+
+    Degenerate input: if the weights table is empty or all-zero the
+    total ``__W`` is 0, ``__quota DIV __W`` is NULL, and every
+    ``alloc_tokens`` comes out NULL (it would raise under ANSI mode) —
+    the sum(alloc) == target identity does not hold in that case. The
+    caller owns validating that at least one positive weight exists;
+    this function does not raise so the oracle twin (identical SQL
+    arithmetic, identical NULL propagation) stays engine-exact."""
     j = stats.join(
         weights.select(
             F.col(source_col).alias("source"),

@@ -25,6 +25,14 @@ from pyspark.sql import functions as F
 META_TAG_RE = r"(?i)<meta\s[^>]*>"
 _TITLE_RE = r"(?i)<title[^>]*>([^<]*)</title>"
 _CONTENT_RE = r'(?i)content\s*=\s*"([^"]*)"'
+# Known limitation (kept deliberately): this matches 'charset=' ANYWHERE
+# inside a meta tag, so a tag like <meta name="description"
+# content="use charset=utf-8"> is selected ahead of a later real
+# <meta charset=...> declaration. Anchoring it to the two declared
+# forms (bare charset attribute / http-equiv Content-Type content)
+# would improve extraction fidelity on real pages but change what the
+# declared query computes — the DuckDB twin pins this exact behavior,
+# so the fix is deferred to a round where oracles may move.
 _CHARSET_ATTR_RE = r'(?i)charset\s*=\s*"?([A-Za-z0-9_.:-]+)'
 
 
